@@ -1,0 +1,106 @@
+"""Film: filtered sample accumulation as differentiable scatter-add.
+
+Replaces the reference's Film/FilmTile machinery — per-worker tiles with a
+filter-table rasterizer merged under a mutex (``pkg/pbrt/film.go:211-248``
+AddSample, ``:115-132`` MergeFilmTile) — with a single scatter-add over the
+whole image.  There is no tile/mutex analogue: on TPU every sample's filter
+taps become ``image.at[py, px].add(w * L)``, XLA turns that into a fused
+scatter, and cross-device accumulation is a ``psum`` (parallel/shard.py).
+
+Fixes reference quirk #2 (SURVEY §6): WriteImage ignores filterWeightSum
+and gamma (film.go:142-179).  ``develop`` normalizes by the weight sum and
+applies sRGB encoding by default; ``compat_go=True`` reproduces the
+reference behaviour for golden comparisons.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from gopbrt_tpu.ops.filters import Filter, box_filter, evaluate
+
+
+class Film(NamedTuple):
+    """Accumulated film state (a pytree — carried through jit/grad/psum)."""
+
+    rgb: jnp.ndarray  # f32[H,W,3] weighted radiance sum
+    weight: jnp.ndarray  # f32[H,W]  filter weight sum
+
+
+def new_film(width: int, height: int) -> Film:
+    return Film(
+        rgb=jnp.zeros((height, width, 3), jnp.float32),
+        weight=jnp.zeros((height, width), jnp.float32),
+    )
+
+
+def add_samples(film: Film, p_film: jnp.ndarray, L: jnp.ndarray,
+                filt: Filter = box_filter(1.0)) -> Film:
+    """Splat samples at continuous film coords p_film[N,2] with radiance
+    L[N,3] (film.go:211-248 AddSample, vectorised).
+
+    The filter support is rasterized as a static (K x K) footprint of
+    scatter taps per sample; out-of-image taps are dropped (mode='drop'),
+    which also implements crop windows for free.  Differentiable w.r.t. L.
+    """
+    h, w = film.weight.shape
+    r = filt.radius
+    # discrete pixels touched: ceil(p - 0.5 - r) .. floor(p - 0.5 + r)
+    k = int(np.floor(2 * r)) + 1
+    base_x = jnp.ceil(p_film[:, 0] - 0.5 - r).astype(jnp.int32)
+    base_y = jnp.ceil(p_film[:, 1] - 0.5 - r).astype(jnp.int32)
+    rgb, wsum = film.rgb, film.weight
+    for oy in range(k):
+        for ox in range(k):
+            px = base_x + ox
+            py = base_y + oy
+            # offset from pixel center to sample (film.go:232-241)
+            dx = px.astype(jnp.float32) + 0.5 - p_film[:, 0]
+            dy = py.astype(jnp.float32) + 0.5 - p_film[:, 1]
+            fw = evaluate(filt, dx, dy)
+            rgb = rgb.at[py, px].add(fw[:, None] * L, mode="drop")
+            wsum = wsum.at[py, px].add(fw, mode="drop")
+    return Film(rgb=rgb, weight=wsum)
+
+
+def merge(a: Film, b: Film) -> Film:
+    """Combine two accumulations (MergeFilmTile semantics, film.go:115-132
+    — but associative/commutative, so it's also the psum reducer)."""
+    return Film(rgb=a.rgb + b.rgb, weight=a.weight + b.weight)
+
+
+def develop(film: Film, gamma: bool = True, compat_go: bool = False) -> jnp.ndarray:
+    """Resolve accumulated film to display RGB in [0,1] (f32[H,W,3]).
+
+    compat_go reproduces film.go:142-179: no weight normalization, no gamma
+    (for golden-image comparison against the reference's PNGs).
+    """
+    if compat_go:
+        return jnp.clip(film.rgb, 0.0, 1.0)
+    img = film.rgb / jnp.maximum(film.weight[..., None], 1e-8)
+    img = jnp.maximum(img, 0.0)
+    if gamma:
+        img = srgb_encode(img)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def srgb_encode(x: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.maximum(x, 0.0)
+    return jnp.where(
+        x <= 0.0031308, 12.92 * x, 1.055 * jnp.power(jnp.maximum(x, 1e-8), 1 / 2.4) - 0.055
+    )
+
+
+def to_uint8(img) -> np.ndarray:
+    return np.asarray(jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0)).astype(np.uint8)
+
+
+def write_png(path: str, img) -> str:
+    """PNG output (film.go:142-179's WriteImage endpoint)."""
+    from PIL import Image
+
+    Image.fromarray(to_uint8(img)).save(path)
+    return path

@@ -1,0 +1,131 @@
+"""Render driver: the wavefront replacement for the tile/goroutine pool.
+
+The reference's ``Render`` (``pkg/pbrt/integrator.go:291-350``) splits the
+film into 16px tiles, fans them out over a channel to 64 goroutines, and
+merges FilmTiles under a mutex.  Here a "tile" is the whole wavefront: one
+jit-compiled step renders every pixel's s-th sample in a single fused
+program (raygen -> bounce loop -> film scatter), and the host loop over
+sample batches is the only orchestration.  Multi-device sharding of the
+pixel axis lives in parallel/shard.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gopbrt_tpu.models import camera as cam_mod
+from gopbrt_tpu.models import film as film_mod
+from gopbrt_tpu.models import integrators
+from gopbrt_tpu.models.scene import Scene
+from gopbrt_tpu.ops import rng
+from gopbrt_tpu.ops.filters import Filter, box_filter
+
+
+class RenderSettings(NamedTuple):
+    """Static render configuration (the knobs hardcoded in server.go:136-164)."""
+
+    width: int = 256
+    height: int = 256
+    spp: int = 16
+    max_depth: int = 5
+    rr_threshold: float = 1.0
+    seed: int = 0
+    integrator: str = "path"  # or "direct"
+    stratify: bool = True  # stratified pixel jitter (NewStratified, server.go:142)
+    filter: Filter = box_filter(1.0)
+    samples_per_pass: int = 1  # spp folded into one device launch
+
+
+def camera_samples(settings: RenderSettings, pixel_idx, sample_idx, seed):
+    """CameraSample generation (Sampler.GetCameraSample, sampler.go:19-25):
+    stratified-jittered film position + lens + time from counter streams."""
+    w = settings.width
+    px = (pixel_idx % jnp.uint32(w)).astype(jnp.float32)
+    py = (pixel_idx // jnp.uint32(w)).astype(jnp.float32)
+    if settings.stratify:
+        # stratify over a near-square spp grid
+        nx = int(np.floor(np.sqrt(settings.spp))) or 1
+        ny = max(settings.spp // nx, 1)
+        jitter = rng.stratified_2d(
+            seed, pixel_idx, sample_idx, integrators.DIM_CAMERA, nx, ny
+        )
+    else:
+        jitter = rng.sample_2d(seed, pixel_idx, sample_idx, integrators.DIM_CAMERA)
+    p_film = jnp.stack([px, py], axis=-1) + jitter
+    u_lens = rng.sample_2d(seed, pixel_idx, sample_idx, integrators.DIM_CAMERA + 2)
+    return p_film, u_lens
+
+
+def render_wave(
+    scene: Scene,
+    camera: cam_mod.Camera,
+    film: film_mod.Film,
+    settings: RenderSettings,
+    pixel_idx: jnp.ndarray,
+    sample_idx: jnp.ndarray,
+) -> film_mod.Film:
+    """Render one wavefront (each lane = one pixel-sample) into the film.
+
+    Jit-friendly: all shapes static, scene/camera/film are traced pytrees.
+    """
+    seed = jnp.uint32(settings.seed)
+    p_film, u_lens = camera_samples(settings, pixel_idx, sample_idx, seed)
+    o, d = cam_mod.generate_rays(camera, p_film, u_lens)
+    if settings.integrator == "direct":
+        L = integrators.li_direct(
+            scene, o, d, pixel_idx, sample_idx, seed, max_depth=settings.max_depth
+        )
+    else:
+        cfg = integrators.PathConfig(
+            max_depth=settings.max_depth, rr_threshold=settings.rr_threshold
+        )
+        L = integrators.li(scene, o, d, pixel_idx, sample_idx, seed, cfg)
+    return film_mod.add_samples(film, p_film, L, settings.filter)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def render_pass(
+    scene: Scene,
+    camera: cam_mod.Camera,
+    film: film_mod.Film,
+    settings: RenderSettings,
+    sample_base: jnp.ndarray,
+) -> film_mod.Film:
+    """One full-image pass: samples_per_pass spp in one launch."""
+    n_pix = settings.width * settings.height
+    pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
+    for s in range(settings.samples_per_pass):
+        sample_idx = jnp.broadcast_to(
+            sample_base.astype(jnp.uint32) + jnp.uint32(s), (n_pix,)
+        )
+        film = render_wave(scene, camera, film, settings, pixel_idx, sample_idx)
+    return film
+
+
+def render(
+    scene: Scene,
+    camera: cam_mod.Camera,
+    settings: RenderSettings,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> jnp.ndarray:
+    """Full render: host loop over sample passes (the only Python loop).
+
+    Returns the developed image f32[H,W,3] in [0,1] (normalized + sRGB).
+    Counterpart of the whole Render->WriteImage pipeline
+    (integrator.go:291-350), minus PNG encoding (utils/image.py).
+    """
+    film = film_mod.new_film(settings.width, settings.height)
+    n_passes = -(-settings.spp // settings.samples_per_pass)
+    for p in range(n_passes):
+        film = render_pass(
+            scene, camera, film, settings, jnp.uint32(p * settings.samples_per_pass)
+        )
+        if progress is not None:
+            jax.block_until_ready(film)
+            progress(p + 1, n_passes)
+    return film_mod.develop(film)

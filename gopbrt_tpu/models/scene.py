@@ -1,0 +1,450 @@
+"""Scene construction: a host-side builder producing device SoA tables.
+
+Replaces the reference's object-graph scene assembly — []Primitive of
+GeometricPrimitive/TransformedPrimitive + []Light handed to NewScene
+(``internal/render/server.go:30-132``, ``pkg/pbrt/scene.go:16-36``) — with a
+Python builder that compiles to a flat, jit-friendly pytree of arrays.
+Interface dispatch becomes integer tags; the "plugin architecture" becomes a
+closed set of table rows.
+
+The builder runs in NumPy on the host (scene build = the reference's
+server-side setup, not a hot path); ``build()`` uploads once to device.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from gopbrt_tpu.ops import geom, sampling
+from gopbrt_tpu.ops.intersect import Primitives, SPHERE, DISK, TRIANGLE
+from gopbrt_tpu.ops.lights import (
+    Lights,
+    LIGHT_POINT,
+    LIGHT_DISTANT,
+    LIGHT_AREA,
+    SHAPE_SPHERE,
+    SHAPE_DISK,
+)
+from gopbrt_tpu.ops.texture import (
+    Textures,
+    TEX_CONSTANT,
+    TEX_CHECKERBOARD,
+    TEX_UV,
+    TEX_IMAGE,
+    MAP_UV,
+    MAP_PLANAR,
+)
+from gopbrt_tpu.ops.bsdf import MATTE, MIRROR, GLASS, PLASTIC, METAL
+
+
+class Materials(NamedTuple):
+    """SoA material table (closed set — see ops/bsdf.py)."""
+
+    mat_type: jnp.ndarray  # int32[M]
+    kd: jnp.ndarray  # f32[M,3]
+    kd_tex: jnp.ndarray  # int32[M]  texture id, -1 = constant kd
+    sigma: jnp.ndarray  # f32[M]
+    kr: jnp.ndarray  # f32[M,3]
+    kt: jnp.ndarray  # f32[M,3]
+    eta: jnp.ndarray  # f32[M]
+    roughness: jnp.ndarray  # f32[M] GGX alpha (pre-remapped at build)
+
+
+class Scene(NamedTuple):
+    """The whole scene as one pytree — everything jit-traceable.
+
+    light_power/cdf: Distribution1D over lights (lightdistribution.go,
+    with Uniform and Power strategies both expressible; Spatial TODO).
+    """
+
+    prims: Primitives
+    materials: Materials
+    textures: Textures
+    lights: Lights
+    light_func: jnp.ndarray
+    light_cdf: jnp.ndarray
+    light_func_int: jnp.ndarray
+    world_center: jnp.ndarray  # f32[3]
+    world_radius: jnp.ndarray  # f32[]
+    bvh: Optional["object"] = None  # ops.bvh.LinearBVH, attached by build()
+
+    @property
+    def n_lights(self) -> int:
+        return self.lights.count
+
+
+@dataclass
+class SceneBuilder:
+    """Accumulates primitives / materials / textures / lights, then builds.
+
+    API shape mirrors the construction calls in internal/render/server.go
+    (NewSphereShape + NewMatteMaterial + NewGeometricPrimitive + ...), but
+    produces SoA tables instead of an object graph.
+    """
+
+    light_strategy: str = "uniform"  # or "power" (lightdistribution.go:3-9)
+
+    _prim_type: list = field(default_factory=list)
+    _o2w: list = field(default_factory=list)
+    _params: list = field(default_factory=list)
+    _mat_id: list = field(default_factory=list)
+    _area_light: list = field(default_factory=list)
+    _reverse: list = field(default_factory=list)
+
+    _materials: list = field(default_factory=list)
+    _textures: list = field(default_factory=list)
+    _atlas_images: list = field(default_factory=list)
+    _lights: list = field(default_factory=list)
+
+    # --- textures ---------------------------------------------------------
+
+    def _add_texture(self, row) -> int:
+        self._textures.append(row)
+        return len(self._textures) - 1
+
+    def constant_texture(self, rgb) -> int:
+        return self._add_texture(
+            dict(type=TEX_CONSTANT, v1=_rgb(rgb), v2=(0, 0, 0), mapping=MAP_UV,
+                 vs=(1, 0, 0), vt=(0, 1, 0), dsdt=(0, 0), image=None)
+        )
+
+    def checkerboard_texture(
+        self, tex1_rgb, tex2_rgb, vs=(1.0, 0, 0), vt=(0, 1.0, 0), ds=0.0, dt=0.0,
+        mapping: str = "planar",
+    ) -> int:
+        """Checkerboard of two constant colours (checkerboard.go:15-40) with
+        planar or uv mapping (texture.go:29-46)."""
+        return self._add_texture(
+            dict(
+                type=TEX_CHECKERBOARD,
+                v1=_rgb(tex1_rgb),
+                v2=_rgb(tex2_rgb),
+                mapping=MAP_PLANAR if mapping == "planar" else MAP_UV,
+                vs=tuple(vs),
+                vt=tuple(vt),
+                dsdt=(ds, dt),
+                image=None,
+            )
+        )
+
+    def uv_texture(self) -> int:
+        return self._add_texture(
+            dict(type=TEX_UV, v1=(0, 0, 0), v2=(0, 0, 0), mapping=MAP_UV,
+                 vs=(1, 0, 0), vt=(0, 1, 0), dsdt=(0, 0), image=None)
+        )
+
+    def image_texture(self, image: np.ndarray, su=1.0, sv=1.0) -> int:
+        """Image texture from an [H,W,3] float array (parity extra)."""
+        img = np.asarray(image, np.float32)
+        assert img.ndim == 3 and img.shape[-1] == 3
+        return self._add_texture(
+            dict(type=TEX_IMAGE, v1=(0, 0, 0), v2=(0, 0, 0), mapping=MAP_UV,
+                 vs=(su, 0, 0), vt=(0, sv, 0), dsdt=(0, 0), image=img)
+        )
+
+    # --- materials --------------------------------------------------------
+
+    def _add_material(self, **kw) -> int:
+        row = dict(
+            mat_type=MATTE, kd=(0.5, 0.5, 0.5), kd_tex=-1, sigma=0.0,
+            kr=(1.0, 1.0, 1.0), kt=(1.0, 1.0, 1.0), eta=1.5, roughness=0.0,
+        )
+        row.update(kw)
+        self._materials.append(row)
+        return len(self._materials) - 1
+
+    def matte(self, kd=(0.5, 0.5, 0.5), kd_tex: int = -1, sigma: float = 0.0) -> int:
+        """Matte: Lambertian (sigma=0) or Oren–Nayar (matte.go:21-37)."""
+        return self._add_material(mat_type=MATTE, kd=_rgb(kd), kd_tex=kd_tex, sigma=sigma)
+
+    def mirror(self, kr=(0.9, 0.9, 0.9)) -> int:
+        """Perfect mirror (mirror.go:21-32)."""
+        return self._add_material(mat_type=MIRROR, kr=_rgb(kr))
+
+    def glass(self, kr=(1.0, 1.0, 1.0), kt=(1.0, 1.0, 1.0), eta=1.5, roughness=0.0,
+              remap_roughness=True) -> int:
+        """Glass (glass.go:27-75): smooth -> FresnelSpecular, rough -> GGX."""
+        alpha = _remap(roughness) if (remap_roughness and roughness > 0) else roughness
+        return self._add_material(
+            mat_type=GLASS, kr=_rgb(kr), kt=_rgb(kt), eta=eta, roughness=alpha
+        )
+
+    def plastic(self, kd=(0.5, 0.5, 0.5), kd_tex=-1, ks=(0.25, 0.25, 0.25),
+                roughness=0.1, remap_roughness=True) -> int:
+        alpha = _remap(roughness) if remap_roughness else roughness
+        return self._add_material(
+            mat_type=PLASTIC, kd=_rgb(kd), kd_tex=kd_tex, kr=_rgb(ks),
+            eta=1.5, roughness=max(alpha, 1e-3),
+        )
+
+    def metal(self, f0=(0.9, 0.6, 0.3), roughness=0.05, remap_roughness=True) -> int:
+        alpha = _remap(roughness) if remap_roughness else roughness
+        return self._add_material(
+            mat_type=METAL, kr=_rgb(f0), roughness=max(alpha, 1e-3)
+        )
+
+    # --- primitives -------------------------------------------------------
+
+    def _add_prim(self, ptype, o2w, params, mat_id, reverse=False) -> int:
+        self._prim_type.append(ptype)
+        self._o2w.append(np.asarray(o2w, np.float32))
+        p = np.zeros(9, np.float32)
+        p[: len(params)] = params
+        self._params.append(p)
+        self._mat_id.append(mat_id)
+        self._area_light.append(-1)
+        self._reverse.append(bool(reverse))
+        return len(self._prim_type) - 1
+
+    def sphere(self, o2w, radius, material: int, z_min=None, z_max=None,
+               phi_max_deg=360.0, reverse_orientation=False) -> int:
+        """Sphere primitive (pbrt.NewSphereShape, sphere.go:189-228)."""
+        z_min = -radius if z_min is None else z_min
+        z_max = radius if z_max is None else z_max
+        return self._add_prim(
+            SPHERE, o2w,
+            [radius, z_min, z_max, math.radians(phi_max_deg)],
+            material, reverse_orientation,
+        )
+
+    def disk(self, o2w, radius, material: int, height=0.0, inner_radius=0.0,
+             phi_max_deg=360.0, reverse_orientation=False) -> int:
+        """Disk primitive (shapes.NewDisk, disk.go:17-40)."""
+        return self._add_prim(
+            DISK, o2w,
+            [height, radius, inner_radius, math.radians(phi_max_deg)],
+            material, reverse_orientation,
+        )
+
+    def triangle(self, p0, p1, p2, material: int, reverse_orientation=False) -> int:
+        """Single world-space triangle (PBRT parity; reference has none)."""
+        return self._add_prim(
+            TRIANGLE, np.eye(4, dtype=np.float32),
+            list(p0) + list(p1) + list(p2), material, reverse_orientation,
+        )
+
+    def triangle_mesh(self, o2w, vertices, indices, material: int,
+                      reverse_orientation=False) -> list[int]:
+        """Triangle mesh: vertices pre-transformed to world space at build
+        (object instancing for meshes trades memory for a transform-free
+        hot path — the right call on TPU where the mesh lives in HBM once).
+        """
+        verts = np.asarray(vertices, np.float32)
+        m = np.asarray(o2w, np.float32)
+        verts = verts @ m[:3, :3].T + m[:3, 3]
+        ids = []
+        for (a, b, c) in np.asarray(indices, np.int64).reshape(-1, 3):
+            ids.append(
+                self.triangle(verts[a], verts[b], verts[c], material,
+                              reverse_orientation)
+            )
+        return ids
+
+    # --- lights -----------------------------------------------------------
+
+    def point_light(self, p, intensity) -> int:
+        """Point light (lights.NewPoint, point.go:19-42)."""
+        self._lights.append(
+            dict(type=LIGHT_POINT, p=_rgb(p), intensity=_rgb(intensity),
+                 two_sided=False, prim=-1, shape=SHAPE_SPHERE,
+                 o2w=np.eye(4, dtype=np.float32), params=np.zeros(9, np.float32))
+        )
+        return len(self._lights) - 1
+
+    def distant_light(self, direction, radiance) -> int:
+        """Distant light; direction points *toward* the light, matching the
+        demo's usage (server.go:108-112 passes w={-1,1,1} and distant.go:40-44
+        returns wi=normalize(w))."""
+        d = np.asarray(direction, np.float64)
+        d = d / np.linalg.norm(d)
+        self._lights.append(
+            dict(type=LIGHT_DISTANT, p=tuple(d), intensity=_rgb(radiance),
+                 two_sided=False, prim=-1, shape=SHAPE_SPHERE,
+                 o2w=np.eye(4, dtype=np.float32), params=np.zeros(9, np.float32))
+        )
+        return len(self._lights) - 1
+
+    def area_light(self, prim_id: int, radiance, two_sided=False) -> int:
+        """Attach diffuse-area emission to an existing sphere/disk primitive
+        (lights.NewDiffuseAreaLight + the GeometricPrimitive.areaLight slot,
+        diffuse.go:12-34, primitive.go:24-44)."""
+        ptype = self._prim_type[prim_id]
+        assert ptype in (SPHERE, DISK), "area lights need sphere/disk shapes"
+        shape = SHAPE_SPHERE if ptype == SPHERE else SHAPE_DISK
+        o2w = self._o2w[prim_id]
+        self._lights.append(
+            dict(type=LIGHT_AREA, p=tuple(o2w[:3, 3]), intensity=_rgb(radiance),
+                 two_sided=bool(two_sided), prim=prim_id, shape=shape,
+                 o2w=o2w, params=self._params[prim_id])
+        )
+        lid = len(self._lights) - 1
+        self._area_light[prim_id] = lid
+        return lid
+
+    # --- world bounds (host) ---------------------------------------------
+
+    def _prim_world_bounds(self, i) -> tuple[np.ndarray, np.ndarray]:
+        pt = self._prim_type[i]
+        m = self._o2w[i]
+        pr = self._params[i]
+        if pt == SPHERE:
+            r = pr[0]
+            lo, hi = np.array([-r, -r, pr[1]]), np.array([r, r, pr[2]])
+        elif pt == DISK:
+            r = pr[1]
+            lo, hi = np.array([-r, -r, pr[0] - 1e-3]), np.array([r, r, pr[0] + 1e-3])
+        else:
+            v = pr.reshape(3, 3)
+            return v.min(axis=0), v.max(axis=0)
+        corners = np.array(
+            [[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]], [lo[0], hi[1], lo[2]],
+             [hi[0], hi[1], lo[2]], [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+             [lo[0], hi[1], hi[2]], [hi[0], hi[1], hi[2]]]
+        )
+        tc = corners @ m[:3, :3].T + m[:3, 3]
+        return tc.min(axis=0), tc.max(axis=0)
+
+    def world_bounds(self):
+        los, his = zip(*[self._prim_world_bounds(i) for i in range(len(self._prim_type))])
+        return np.min(los, axis=0), np.max(his, axis=0)
+
+    # --- build ------------------------------------------------------------
+
+    def build(self, accelerator: str = "bvh") -> Scene:
+        n = len(self._prim_type)
+        assert n > 0, "empty scene"
+        if not self._materials:
+            self.matte()
+        if not self._textures:
+            self.constant_texture((0.0, 0.0, 0.0))
+        o2w = np.stack(self._o2w)
+        w2o = np.linalg.inv(o2w.astype(np.float64)).astype(np.float32)
+        prims = Primitives(
+            prim_type=jnp.asarray(np.asarray(self._prim_type, np.int32)),
+            obj_to_world=jnp.asarray(o2w),
+            world_to_obj=jnp.asarray(w2o),
+            params=jnp.asarray(np.stack(self._params)),
+            material_id=jnp.asarray(np.asarray(self._mat_id, np.int32)),
+            area_light_id=jnp.asarray(np.asarray(self._area_light, np.int32)),
+            reverse_orientation=jnp.asarray(np.asarray(self._reverse, bool)),
+        )
+        mats = Materials(
+            mat_type=jnp.asarray([m["mat_type"] for m in self._materials], jnp.int32),
+            kd=jnp.asarray([m["kd"] for m in self._materials], jnp.float32),
+            kd_tex=jnp.asarray([m["kd_tex"] for m in self._materials], jnp.int32),
+            sigma=jnp.asarray([m["sigma"] for m in self._materials], jnp.float32),
+            kr=jnp.asarray([m["kr"] for m in self._materials], jnp.float32),
+            kt=jnp.asarray([m["kt"] for m in self._materials], jnp.float32),
+            eta=jnp.asarray([m["eta"] for m in self._materials], jnp.float32),
+            roughness=jnp.asarray(
+                [m["roughness"] for m in self._materials], jnp.float32
+            ),
+        )
+        texs = self._build_textures()
+        lights = self._build_lights()
+        lo, hi = self.world_bounds()
+        center = 0.5 * (lo + hi)
+        radius = float(np.linalg.norm(hi - center))
+
+        lf, lcdf, lint = self._light_distribution(lights, radius)
+        scene = Scene(
+            prims=prims,
+            materials=mats,
+            textures=texs,
+            lights=lights,
+            light_func=lf,
+            light_cdf=lcdf,
+            light_func_int=lint,
+            world_center=jnp.asarray(center, jnp.float32),
+            world_radius=jnp.asarray(radius, jnp.float32),
+            bvh=None,
+        )
+        if accelerator == "bvh" and n > 4:
+            from gopbrt_tpu.ops import bvh as bvh_mod
+
+            scene = scene._replace(bvh=bvh_mod.build_bvh_host(self))
+        return scene
+
+    def _build_textures(self) -> Textures:
+        rows = self._textures
+        t = len(rows)
+        # pack image atlas (stack vertically)
+        images = [r["image"] for r in rows if r["image"] is not None]
+        if images:
+            w = max(im.shape[1] for im in images)
+            h = sum(im.shape[0] for im in images)
+            atlas = np.zeros((h, w, 3), np.float32)
+            rects = {}
+            y = 0
+            for r in rows:
+                if r["image"] is not None:
+                    im = r["image"]
+                    atlas[y : y + im.shape[0], : im.shape[1]] = im
+                    rects[id(r)] = (y, 0, im.shape[0], im.shape[1])
+                    y += im.shape[0]
+        else:
+            atlas = np.zeros((1, 1, 3), np.float32)
+            rects = {}
+        rect_rows = [
+            rects.get(id(r), (0, 0, 1, 1)) for r in rows
+        ]
+        return Textures(
+            tex_type=jnp.asarray([r["type"] for r in rows], jnp.int32),
+            value1=jnp.asarray([r["v1"] for r in rows], jnp.float32),
+            value2=jnp.asarray([r["v2"] for r in rows], jnp.float32),
+            mapping=jnp.asarray([r["mapping"] for r in rows], jnp.int32),
+            vs=jnp.asarray([r["vs"] for r in rows], jnp.float32),
+            vt=jnp.asarray([r["vt"] for r in rows], jnp.float32),
+            dsdt=jnp.asarray([r["dsdt"] for r in rows], jnp.float32),
+            atlas=jnp.asarray(atlas),
+            image_rect=jnp.asarray(rect_rows, jnp.int32),
+        )
+
+    def _build_lights(self) -> Lights:
+        rows = self._lights
+        if not rows:
+            # keep one dummy dark point light so table shapes are static
+            rows = [dict(type=LIGHT_POINT, p=(0, 0, 0), intensity=(0, 0, 0),
+                         two_sided=False, prim=-1, shape=SHAPE_SPHERE,
+                         o2w=np.eye(4, dtype=np.float32), params=np.zeros(9, np.float32))]
+        return Lights(
+            light_type=jnp.asarray([r["type"] for r in rows], jnp.int32),
+            p=jnp.asarray([r["p"] for r in rows], jnp.float32),
+            intensity=jnp.asarray([r["intensity"] for r in rows], jnp.float32),
+            two_sided=jnp.asarray([r["two_sided"] for r in rows], bool),
+            prim_idx=jnp.asarray([r["prim"] for r in rows], jnp.int32),
+            shape_kind=jnp.asarray([r["shape"] for r in rows], jnp.int32),
+            o2w=jnp.asarray(np.stack([r["o2w"] for r in rows])),
+            params=jnp.asarray(np.stack([r["params"] for r in rows])),
+        )
+
+    def _light_distribution(self, lights: Lights, world_radius: float):
+        from gopbrt_tpu.ops import lights as lights_ops
+
+        if self.light_strategy == "power" and lights.count > 0:
+            w = lights_ops.power(lights, world_radius)
+        else:
+            w = jnp.ones((max(lights.count, 1),), jnp.float32)
+        return sampling.distribution_1d(w)
+
+
+def _rgb(v) -> tuple:
+    if isinstance(v, (int, float)):
+        return (float(v),) * 3
+    v = tuple(float(x) for x in v)
+    assert len(v) == 3
+    return v
+
+
+def _remap(roughness: float) -> float:
+    """Host-side RoughnessToAlpha (microfacet.go:186-190)."""
+    x = math.log(max(roughness, 1e-3))
+    return (
+        1.62142 + 0.819955 * x + 0.1734 * x * x + 0.0171201 * x**3
+        + 0.000640711 * x**4
+    )

@@ -1,0 +1,527 @@
+"""BSDF evaluation / sampling over SoA wavefronts.
+
+Replaces the reference's BxDF interface + BSDF lobe container
+(``pkg/pbrt/reflection.go``: Lambertian :576-607, Oren–Nayar :609-668,
+SpecularReflection :538-574, SpecularTransmission :405-463, FresnelSpecular
+:465-536, Microfacet R/T :670-835) and the Trowbridge–Reitz distribution
+(``pkg/pbrt/microfacet.go``) with branch-free, batch-vectorised closures over
+a closed material set:
+
+    MATTE   = Lambertian or Oren–Nayar            (pkg/materials/matte.go)
+    MIRROR  = specular reflection, Fresnel no-op  (pkg/materials/mirror.go)
+    GLASS   = smooth: FresnelSpecular; rough: GGX R+T (pkg/materials/glass.go)
+    PLASTIC = Lambertian + GGX reflection (PBRT parity; not in reference)
+    METAL   = GGX reflection with Schlick conductor Fresnel (parity extra)
+
+All directions here are in the *local shading frame* (z = shading normal);
+models/integrators.py converts world<->local (counterpart of
+reflection.go:147-157 WorldToLocal/LocalToWorld).
+
+Known reference bugs consciously fixed (SURVEY §6):
+  * FresnelSpecular eta term (#8: ``(etaI*etaI)/(etaT/etaT)``) — corrected,
+  * SpecularReflection typed Diffuse (#8) — delta lobes are flagged specular,
+  * TrowbridgeReitz.SampleWH nil return (#5) — full implementation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from gopbrt_tpu.ops.geom import PI, INV_PI, dot, normalize
+from gopbrt_tpu.ops.sampling import cosine_sample_hemisphere
+
+# material type tags (scene material table)
+MATTE = 0
+MIRROR = 1
+GLASS = 2
+PLASTIC = 3
+METAL = 4
+
+
+class MaterialParams(NamedTuple):
+    """Per-ray material parameters after texture evaluation (SoA [N,...]).
+
+    The wavefront analogue of ``Material.ComputeScatteringFunctions``
+    (pkg/pbrt/material.go:14-16): textures have already been sampled at the
+    hit point, leaving pure numeric lobe parameters.
+    """
+
+    mat_type: jnp.ndarray  # int32[N]
+    kd: jnp.ndarray  # f32[N,3]  diffuse albedo (matte/plastic)
+    sigma: jnp.ndarray  # f32[N]    Oren-Nayar sigma (degrees)
+    kr: jnp.ndarray  # f32[N,3]  reflection scale (mirror/glass/metal)
+    kt: jnp.ndarray  # f32[N,3]  transmission scale (glass)
+    eta: jnp.ndarray  # f32[N]    interior IOR (glass/plastic fresnel)
+    roughness: jnp.ndarray  # f32[N] GGX alpha (already remapped)
+
+
+# --- local-frame trig (reflection.go:44-100) -------------------------------
+
+
+def cos_theta(w):
+    return w[..., 2]
+
+
+def cos2_theta(w):
+    return w[..., 2] * w[..., 2]
+
+
+def abs_cos_theta(w):
+    return jnp.abs(w[..., 2])
+
+
+def sin2_theta(w):
+    return jnp.maximum(0.0, 1.0 - cos2_theta(w))
+
+
+def sin_theta(w):
+    return jnp.sqrt(sin2_theta(w))
+
+
+def tan_theta(w):
+    return sin_theta(w) / jnp.where(cos_theta(w) == 0, 1e-20, cos_theta(w))
+
+
+def tan2_theta(w):
+    return sin2_theta(w) / jnp.maximum(cos2_theta(w), 1e-20)
+
+
+def cos_phi(w):
+    s = sin_theta(w)
+    return jnp.where(s == 0.0, 1.0, jnp.clip(w[..., 0] / jnp.maximum(s, 1e-20), -1, 1))
+
+
+def sin_phi(w):
+    s = sin_theta(w)
+    return jnp.where(s == 0.0, 0.0, jnp.clip(w[..., 1] / jnp.maximum(s, 1e-20), -1, 1))
+
+
+def same_hemisphere(a, b):
+    return a[..., 2] * b[..., 2] > 0.0
+
+
+def reflect_local(wo):
+    """Mirror reflection about z in the shading frame (reflection.go:102-104)."""
+    return jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+
+
+def refract(wi, n, eta_ratio):
+    """Snell refraction; returns (ok, wt) (reflection.go:106-118)."""
+    cos_i = dot(n, wi)
+    sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    sin2_t = eta_ratio * eta_ratio * sin2_i
+    ok = sin2_t < 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    wt = eta_ratio[..., None] * (-wi) + (eta_ratio * cos_i - cos_t)[..., None] * n
+    return ok, wt
+
+
+# --- Fresnel ---------------------------------------------------------------
+
+
+def fr_dielectric(cos_i, eta_i, eta_t):
+    """Unpolarised dielectric Fresnel reflectance (reflection.go:21-42).
+
+    Handles rays exiting the medium (cos_i < 0) by swapping indices.
+    """
+    cos_i = jnp.clip(cos_i, -1.0, 1.0)
+    entering = cos_i > 0.0
+    ei = jnp.where(entering, eta_i, eta_t)
+    et = jnp.where(entering, eta_t, eta_i)
+    ci = jnp.abs(cos_i)
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    sin_t = ei / et * sin_i
+    tir = sin_t >= 1.0
+    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    r_parl = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-20)
+    r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-20)
+    f = 0.5 * (r_parl * r_parl + r_perp * r_perp)
+    return jnp.where(tir, 1.0, f)
+
+
+def schlick_fresnel(cos_i, f0):
+    """Schlick approximation for conductors; f0: f32[...,3]."""
+    m = jnp.clip(1.0 - jnp.abs(cos_i), 0.0, 1.0)
+    return f0 + (1.0 - f0) * (m**5)[..., None]
+
+
+# --- Trowbridge–Reitz / GGX (microfacet.go) --------------------------------
+
+
+def tr_d(wh, alpha):
+    """GGX normal distribution D (microfacet.go:47-55), isotropic."""
+    t2 = tan2_theta(wh)
+    c4 = cos2_theta(wh) ** 2
+    a2 = alpha * alpha
+    e = t2 / jnp.maximum(a2, 1e-12)
+    d = 1.0 / (PI * a2 * c4 * (1.0 + e) ** 2 + 1e-20)
+    return jnp.where(jnp.isfinite(t2) & (c4 > 1e-16), d, 0.0)
+
+
+def tr_lambda(w, alpha):
+    """Smith Λ for GGX (microfacet.go:56-64)."""
+    abs_tan = jnp.sqrt(tan2_theta(w))
+    a2t2 = (alpha * abs_tan) ** 2
+    return jnp.where(
+        jnp.isfinite(abs_tan), (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0, 0.0
+    )
+
+
+def tr_g1(w, alpha):
+    return 1.0 / (1.0 + tr_lambda(w, alpha))
+
+
+def tr_g(wo, wi, alpha):
+    """Smith height-correlated-free G = 1/(1+Λo+Λi) (microfacet.go:66-71)."""
+    return 1.0 / (1.0 + tr_lambda(wo, alpha) + tr_lambda(wi, alpha))
+
+
+def tr_sample_wh(wo, u, alpha):
+    """Sample wh ~ D(wh)|cos| (classic NDF sampling; the reference's
+    visible-NDF SampleWH is broken — SURVEY quirk #5).  Isotropic GGX:
+      tanθ² = α² u/(1-u),  φ = 2π v.
+    Flipped into wo's hemisphere."""
+    u1 = u[..., 0]
+    phi = 2.0 * PI * u[..., 1]
+    tan2 = alpha * alpha * u1 / jnp.maximum(1.0 - u1, 1e-7)
+    ct = 1.0 / jnp.sqrt(1.0 + tan2)
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    wh = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], axis=-1)
+    flip = ~same_hemisphere(wo, wh)
+    return jnp.where(flip[..., None], -wh, wh)
+
+
+def tr_pdf(wo, wh, alpha):
+    """pdf of tr_sample_wh in the wh measure (microfacet.go:110-112 for the
+    non-visible branch): D(wh) |cosθh|."""
+    return tr_d(wh, alpha) * abs_cos_theta(wh)
+
+
+def roughness_to_alpha(roughness):
+    """PBRT's roughness remap (microfacet.go:186-190)."""
+    x = jnp.log(jnp.maximum(roughness, 1e-3))
+    return (
+        1.62142
+        + 0.819955 * x
+        + 0.1734 * x * x
+        + 0.0171201 * x**3
+        + 0.000640711 * x**4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Individual lobes (local frame).  Each returns rgb f.
+# ---------------------------------------------------------------------------
+
+
+def lambert_f(kd, wo, wi):
+    """f = R/π (reflection.go:576-607)."""
+    return kd * INV_PI
+
+
+def oren_nayar_f(kd, sigma_deg, wo, wi):
+    """Oren–Nayar (reflection.go:609-668); sigma in degrees."""
+    sigma = sigma_deg * (PI / 180.0)
+    s2 = sigma * sigma
+    a = 1.0 - s2 / (2.0 * (s2 + 0.33))
+    b = 0.45 * s2 / (s2 + 0.09)
+    sin_ti = sin_theta(wi)
+    sin_to = sin_theta(wo)
+    # cos(phi_i - phi_o)
+    max_cos = jnp.maximum(
+        0.0, cos_phi(wi) * cos_phi(wo) + sin_phi(wi) * sin_phi(wo)
+    )
+    # alpha = max(theta_i, theta_o), beta = min(theta_i, theta_o):
+    # the direction with the LARGER |cos| has the SMALLER theta.
+    ti_bigger = abs_cos_theta(wi) > abs_cos_theta(wo)
+    sin_alpha = jnp.where(ti_bigger, sin_to, sin_ti)
+    tan_beta = jnp.where(
+        ti_bigger,
+        sin_ti / jnp.maximum(abs_cos_theta(wi), 1e-7),
+        sin_to / jnp.maximum(abs_cos_theta(wo), 1e-7),
+    )
+    return kd * (INV_PI * (a + b * max_cos * sin_alpha * tan_beta))[..., None]
+
+
+def microfacet_reflection_f(kr, eta, alpha, wo, wi, fresnel_kind="dielectric"):
+    """GGX reflection lobe f (reflection.go:670-736)."""
+    c_o = abs_cos_theta(wo)
+    c_i = abs_cos_theta(wi)
+    wh = wi + wo
+    degen = (c_o < 1e-7) | (c_i < 1e-7) | (jnp.sum(wh * wh, axis=-1) < 1e-14)
+    wh = normalize(wh, eps=1e-20)
+    if fresnel_kind == "dielectric":
+        f_term = fr_dielectric(dot(wi, jnp.where(wh[..., 2:3] < 0, -wh, wh)), 1.0, eta)[
+            ..., None
+        ]
+    else:  # schlick conductor with kr as f0
+        f_term = schlick_fresnel(dot(wi, wh), kr)
+    val = (
+        kr
+        * f_term
+        * (tr_d(wh, alpha) * tr_g(wo, wi, alpha) / jnp.maximum(4.0 * c_o * c_i, 1e-7))[
+            ..., None
+        ]
+    )
+    return jnp.where(degen[..., None] | ~same_hemisphere(wo, wi)[..., None], 0.0, val)
+
+
+def microfacet_transmission_f(kt, eta_interior, alpha, wo, wi):
+    """GGX transmission lobe f (reflection.go:738-835), radiance transport."""
+    same = same_hemisphere(wo, wi)
+    c_o = cos_theta(wo)
+    c_i = cos_theta(wi)
+    eta = jnp.where(c_o > 0, eta_interior, 1.0 / eta_interior)
+    wh = normalize(wo + wi * eta[..., None], eps=1e-20)
+    wh = jnp.where(wh[..., 2:3] < 0, -wh, wh)
+    sqrt_denom = dot(wo, wh) + eta * dot(wi, wh)
+    f_term = fr_dielectric(dot(wo, wh), 1.0, eta_interior)
+    factor = 1.0 / eta  # radiance transport scaling handled via etaScale
+    val = (
+        kt
+        * (
+            (1.0 - f_term)
+            * jnp.abs(
+                tr_d(wh, alpha)
+                * tr_g(wo, wi, alpha)
+                * eta
+                * eta
+                * jnp.abs(dot(wi, wh))
+                * jnp.abs(dot(wo, wh))
+                * factor
+                * factor
+                / jnp.maximum(
+                    c_i * c_o * sqrt_denom * sqrt_denom, 1e-10
+                )
+            )
+        )[..., None]
+    )
+    degen = same | (jnp.abs(c_i) < 1e-7) | (jnp.abs(c_o) < 1e-7)
+    return jnp.where(degen[..., None], 0.0, val)
+
+
+# ---------------------------------------------------------------------------
+# Whole-material eval / sample / pdf (the BSDF container,
+# reflection.go:120-278, as closed-set dispatch)
+# ---------------------------------------------------------------------------
+
+
+class BsdfSample(NamedTuple):
+    wi: jnp.ndarray  # f32[N,3] local
+    f: jnp.ndarray  # f32[N,3]
+    pdf: jnp.ndarray  # f32[N]
+    is_specular: jnp.ndarray  # bool[N] — delta lobe sampled
+    is_transmission: jnp.ndarray  # bool[N]
+    eta_scale: jnp.ndarray  # f32[N] — radiance scaling factor (path.go:105-115)
+
+
+def _matte_f(mp: MaterialParams, wo, wi):
+    lam = lambert_f(mp.kd, wo, wi)
+    on = oren_nayar_f(mp.kd, mp.sigma, wo, wi)
+    f = jnp.where((mp.sigma > 0.0)[..., None], on, lam)
+    return jnp.where(same_hemisphere(wo, wi)[..., None], f, 0.0)
+
+
+def _glass_rough_f(mp: MaterialParams, wo, wi):
+    fr = microfacet_reflection_f(mp.kr, mp.eta, mp.roughness, wo, wi)
+    ft = microfacet_transmission_f(mp.kt, mp.eta, mp.roughness, wo, wi)
+    return jnp.where(same_hemisphere(wo, wi)[..., None], fr, ft)
+
+
+def _plastic_f(mp: MaterialParams, wo, wi):
+    diff = lambert_f(mp.kd, wo, wi)
+    spec = microfacet_reflection_f(mp.kr, mp.eta, mp.roughness, wo, wi)
+    return jnp.where(same_hemisphere(wo, wi)[..., None], diff + spec, 0.0)
+
+
+def _metal_f(mp: MaterialParams, wo, wi):
+    f = microfacet_reflection_f(mp.kr, mp.eta, mp.roughness, wo, wi, "schlick")
+    return jnp.where(same_hemisphere(wo, wi)[..., None], f, 0.0)
+
+
+def bsdf_f(mp: MaterialParams, wo, wi):
+    """Evaluate non-delta f(wo, wi) (BSDF.F, reflection.go:169-186).
+
+    Delta lobes (mirror, smooth glass) contribute zero, as in the reference.
+    Masked evaluation over the closed material set — on TPU this beats
+    data-dependent branching for a 5-way set.
+    """
+    rough_glass = (mp.mat_type == GLASS) & (mp.roughness > 1e-4)
+    f = jnp.where(
+        (mp.mat_type == MATTE)[..., None],
+        _matte_f(mp, wo, wi),
+        jnp.where(
+            rough_glass[..., None],
+            _glass_rough_f(mp, wo, wi),
+            jnp.where(
+                (mp.mat_type == PLASTIC)[..., None],
+                _plastic_f(mp, wo, wi),
+                jnp.where((mp.mat_type == METAL)[..., None], _metal_f(mp, wo, wi), 0.0),
+            ),
+        ),
+    )
+    return f
+
+
+def bsdf_pdf(mp: MaterialParams, wo, wi):
+    """pdf of bsdf_sample in solid angle (BSDF.Pdf, reflection.go:255-278)."""
+    cos_pdf = abs_cos_theta(wi) * INV_PI
+    same = same_hemisphere(wo, wi)
+    matte_pdf = jnp.where(same, cos_pdf, 0.0)
+
+    wh_r = normalize(wi + wo, eps=1e-20)
+    mf_pdf_r = tr_pdf(wo, wh_r, mp.roughness) / jnp.maximum(
+        4.0 * jnp.abs(dot(wo, wh_r)), 1e-7
+    )
+    # glass rough: reflection or transmission half-vector pdf, fresnel-weighted
+    eta = jnp.where(cos_theta(wo) > 0, mp.eta, 1.0 / mp.eta)
+    wh_t = normalize(wo + wi * eta[..., None], eps=1e-20)
+    sqrt_denom = dot(wo, wh_t) + eta * dot(wi, wh_t)
+    dwh_dwi = jnp.abs(
+        (eta * eta * dot(wi, wh_t)) / jnp.maximum(sqrt_denom * sqrt_denom, 1e-10)
+    )
+    mf_pdf_t = tr_pdf(wo, wh_t, mp.roughness) * dwh_dwi
+    f_term = fr_dielectric(cos_theta(wo), 1.0, mp.eta)
+    glass_pdf = jnp.where(same, f_term * mf_pdf_r, (1.0 - f_term) * mf_pdf_t)
+
+    plastic_pdf = jnp.where(same, 0.5 * (cos_pdf + mf_pdf_r), 0.0)
+    metal_pdf = jnp.where(same, mf_pdf_r, 0.0)
+
+    rough_glass = (mp.mat_type == GLASS) & (mp.roughness > 1e-4)
+    pdf = jnp.where(
+        mp.mat_type == MATTE,
+        matte_pdf,
+        jnp.where(
+            rough_glass,
+            glass_pdf,
+            jnp.where(
+                mp.mat_type == PLASTIC,
+                plastic_pdf,
+                jnp.where(mp.mat_type == METAL, metal_pdf, 0.0),
+            ),
+        ),
+    )
+    return pdf
+
+
+def bsdf_sample(mp: MaterialParams, wo, u2, uc) -> BsdfSample:
+    """Sample wi ~ BSDF (BSDF.SampleF, reflection.go:188-253).
+
+    u2: f32[N,2] for the lobe's 2D sample; uc: f32[N] for lobe choice
+    (Fresnel R/T, plastic diffuse/gloss).
+    """
+    n = wo.shape[0]
+    one = jnp.ones((n,), jnp.float32)
+
+    # --- matte: cosine hemisphere on wo's side
+    wi_matte = cosine_sample_hemisphere(u2)
+    wi_matte = jnp.where(cos_theta(wo)[..., None] < 0, wi_matte * jnp.asarray([1.0, 1.0, -1.0]), wi_matte)
+    pdf_matte = abs_cos_theta(wi_matte) * INV_PI
+    f_matte = _matte_f(mp, wo, wi_matte)
+
+    # --- mirror: delta reflection, Fresnel no-op (mirror.go:21-32)
+    wi_mirror = reflect_local(wo)
+    f_mirror = mp.kr / jnp.maximum(abs_cos_theta(wi_mirror), 1e-7)[..., None]
+
+    # --- smooth glass: FresnelSpecular (reflection.go:465-536, bug #8 fixed)
+    f_term = fr_dielectric(cos_theta(wo), 1.0, mp.eta)
+    choose_r = uc < f_term
+    wi_fr = reflect_local(wo)
+    f_fr = f_term[..., None] * mp.kr / jnp.maximum(abs_cos_theta(wi_fr), 1e-7)[..., None]
+    pdf_fr = f_term
+    # transmission branch
+    entering = cos_theta(wo) > 0
+    eta_ratio = jnp.where(entering, 1.0 / mp.eta, mp.eta)
+    n_local = jnp.where(
+        entering[..., None],
+        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape),
+        jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32), wo.shape),
+    )
+    ok_t, wi_ft = refract(wo, n_local, eta_ratio)
+    wi_ft = normalize(wi_ft, eps=1e-20)
+    # radiance transport factor (etaI/etaT)^2 = eta_ratio^2 included in f;
+    # eta_scale below undoes it for Russian-roulette (path.go:105-115).
+    f_ft = (
+        ((1.0 - f_term) * eta_ratio * eta_ratio)[..., None]
+        * mp.kt
+        / jnp.maximum(abs_cos_theta(wi_ft), 1e-7)[..., None]
+    )
+    pdf_ft = 1.0 - f_term
+    wi_glass = jnp.where(choose_r[..., None], wi_fr, wi_ft)
+    f_glass = jnp.where(choose_r[..., None], f_fr, jnp.where(ok_t[..., None], f_ft, 0.0))
+    pdf_glass = jnp.where(choose_r, pdf_fr, pdf_ft)
+    glass_transmit = ~choose_r & ok_t
+    eta_scale_glass = jnp.where(
+        glass_transmit, 1.0 / (eta_ratio * eta_ratio), 1.0
+    )
+
+    # --- rough glass: GGX half-vector sampling, then Fresnel R/T choice
+    wh = tr_sample_wh(wo, u2, mp.roughness)
+    fr_wh = fr_dielectric(dot(wo, wh), 1.0, mp.eta)
+    choose_rr = uc < fr_wh
+    wi_mfr = normalize(2.0 * dot(wo, wh)[..., None] * wh - wo, eps=1e-20)
+    ok_mt, wi_mft = refract(
+        wo, jnp.where(dot(wo, wh)[..., None] < 0, -wh, wh), eta_ratio
+    )
+    wi_mft = normalize(wi_mft, eps=1e-20)
+    wi_rough = jnp.where(choose_rr[..., None], wi_mfr, wi_mft)
+    f_rough = _glass_rough_f(mp, wo, wi_rough)
+    pdf_rough = bsdf_pdf(
+        mp._replace(mat_type=jnp.full_like(mp.mat_type, GLASS)), wo, wi_rough
+    )
+    rough_transmit = ~choose_rr & ok_mt
+    eta_scale_rough = jnp.where(rough_transmit, 1.0 / (eta_ratio * eta_ratio), 1.0)
+
+    # --- plastic: choose diffuse or glossy by uc, pdf averaged
+    # (BSDF.SampleF lobe-averaging semantics, reflection.go:188-253)
+    choose_diff = uc < 0.5
+    wi_gloss = wi_mfr
+    wi_plastic = jnp.where(choose_diff[..., None], wi_matte, wi_gloss)
+    f_plastic = _plastic_f(mp, wo, wi_plastic)
+    pdf_plastic = bsdf_pdf(
+        mp._replace(mat_type=jnp.full_like(mp.mat_type, PLASTIC)), wo, wi_plastic
+    )
+
+    # --- metal: GGX reflection only
+    wi_metal = wi_mfr
+    f_metal = _metal_f(mp, wo, wi_metal)
+    pdf_metal = bsdf_pdf(
+        mp._replace(mat_type=jnp.full_like(mp.mat_type, METAL)), wo, wi_metal
+    )
+
+    rough_glass = (mp.mat_type == GLASS) & (mp.roughness > 1e-4)
+    smooth_glass = (mp.mat_type == GLASS) & ~rough_glass
+
+    def pick(matte_v, mirror_v, sglass_v, rglass_v, plastic_v, metal_v):
+        def bc(m, v):
+            while m.ndim < v.ndim:
+                m = m[..., None]
+            return m
+
+        t = mp.mat_type
+        return jnp.where(bc(t == MATTE, matte_v), matte_v, jnp.where(
+            bc(t == MIRROR, mirror_v), mirror_v, jnp.where(
+                bc(smooth_glass, sglass_v), sglass_v, jnp.where(
+                    bc(rough_glass, rglass_v), rglass_v, jnp.where(
+                        bc(t == PLASTIC, plastic_v), plastic_v, metal_v)))))
+
+    wi = pick(wi_matte, wi_mirror, wi_glass, wi_rough, wi_plastic, wi_metal)
+    f = pick(f_matte, f_mirror, f_glass, f_rough, f_plastic, f_metal)
+    pdf = pick(pdf_matte, one, pdf_glass, pdf_rough, pdf_plastic, pdf_metal)
+    is_specular = (mp.mat_type == MIRROR) | smooth_glass
+    is_transmission = jnp.where(
+        smooth_glass, glass_transmit, jnp.where(rough_glass, rough_transmit, False)
+    )
+    eta_scale = jnp.where(
+        smooth_glass, eta_scale_glass, jnp.where(rough_glass, eta_scale_rough, 1.0)
+    )
+    return BsdfSample(
+        wi=wi,
+        f=f,
+        pdf=pdf,
+        is_specular=is_specular,
+        is_transmission=is_transmission,
+        eta_scale=eta_scale,
+    )

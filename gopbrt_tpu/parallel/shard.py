@@ -1,0 +1,182 @@
+"""SPMD rendering over a ``jax.sharding.Mesh``.
+
+Replaces the reference's entire "distributed runtime" — the 16px film
+tiles fanned over a channel to 64 goroutines with mutex-merged FilmTiles
+(``pkg/pbrt/integrator.go:291-350``, ``pkg/pbrt/film.go:115-132``) — with
+SPMD over a device mesh:
+
+  * axis ``data``   shards the *pixel wavefront* (the tile analogue),
+  * axis ``sample`` shards spp (independent sample batches per device),
+  * the scene/BVH tables are replicated into each chip's HBM,
+  * film accumulation is a single ``psum`` over ICI (the mutex analogue),
+  * inverse-rendering gradients are psum'd the same way, overlapped with
+    the backward sweep by XLA.
+
+Determinism: the counter-based sampler (ops/rng.py) keys on global pixel
+and sample ids, so any mesh shape produces bit-identical sample streams —
+the multi-chip render equals the 1-chip render up to f32 psum ordering.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from gopbrt_tpu.models import camera as cam_mod
+from gopbrt_tpu.models import film as film_mod
+from gopbrt_tpu.models import render as render_mod
+from gopbrt_tpu.models.scene import Scene
+
+
+def make_mesh(data: int = 0, sample: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'sample') mesh; data=0 -> use all remaining."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == 0:
+        data = n // sample
+    assert data * sample == n, f"mesh {data}x{sample} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, sample)
+    return Mesh(dev_array, ("data", "sample"))
+
+
+def _pad_pixels(n_pix: int, shards: int) -> int:
+    return -(-n_pix // shards) * shards
+
+
+def render_pass_sharded(
+    mesh: Mesh,
+    scene: Scene,
+    camera: cam_mod.Camera,
+    film: film_mod.Film,
+    settings: render_mod.RenderSettings,
+    sample_base: int,
+):
+    """One distributed pass: every device renders its pixel-shard for its
+    sample-shard, film is psum'd across the whole mesh.
+
+    film is replicated (psum-reduced); pixels shard over 'data'; the
+    samples_per_pass spp of this pass shard over 'sample'.
+    """
+    n_pix = settings.width * settings.height
+    n_data = mesh.shape["data"]
+    spp_here = settings.samples_per_pass
+    padded = _pad_pixels(n_pix, n_data)
+    pixel_idx = jnp.arange(padded, dtype=jnp.uint32)
+    # padding lanes get a huge pixel id -> their film-splat taps land far
+    # outside [H,W] and are dropped by the scatter's mode='drop'
+    pixel_idx = jnp.where(pixel_idx < n_pix, pixel_idx, jnp.uint32(0x7FFFFFFF))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data")),
+        out_specs=P(),
+        check_rep=False,
+    )
+    def step(scene_, camera_, film_, pix_):
+        local_film = film_mod.Film(
+            rgb=jnp.zeros_like(film_.rgb), weight=jnp.zeros_like(film_.weight)
+        )
+        s_idx = jax.lax.axis_index("sample")
+        for s in range(spp_here):
+            sample_idx = jnp.broadcast_to(
+                sample_base.astype(jnp.uint32)
+                + (s_idx * spp_here + s).astype(jnp.uint32),
+                pix_.shape,
+            )
+            local_film = render_mod.render_wave(
+                scene_, camera_, local_film, settings, pix_, sample_idx
+            )
+        rgb = jax.lax.psum(local_film.rgb, ("data", "sample"))
+        weight = jax.lax.psum(local_film.weight, ("data", "sample"))
+        return film_mod.Film(rgb=rgb, weight=weight)
+
+    delta = step(scene, camera, film, pixel_idx)
+    return film_mod.merge(film, delta)
+
+
+def render_sharded(
+    mesh: Mesh,
+    scene: Scene,
+    camera: cam_mod.Camera,
+    settings: render_mod.RenderSettings,
+) -> jnp.ndarray:
+    """Full distributed render (the multi-chip ``Render``)."""
+    film = film_mod.new_film(settings.width, settings.height)
+    n_sample = mesh.shape["sample"]
+    spp_per_pass = settings.samples_per_pass * n_sample
+    n_passes = -(-settings.spp // spp_per_pass)
+    fn = jax.jit(render_pass_sharded, static_argnames=("mesh", "settings"))
+    for p in range(n_passes):
+        film = fn(mesh, scene, camera, film, settings, jnp.uint32(p * spp_per_pass))
+    return film_mod.develop(film)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable / training step (inverse rendering, BASELINE config 5)
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(
+    mesh: Mesh,
+    camera: cam_mod.Camera,
+    settings: render_mod.RenderSettings,
+    param_to_scene,
+    optimizer,
+):
+    """Build a jitted SPMD gradient step for inverse rendering.
+
+    param_to_scene(params) -> Scene splices optimisable leaves (e.g. albedo
+    texture values, light intensities) into the scene pytree.  The loss is
+    pixel MSE against a target image on each device's pixel shard; gradients
+    psum over the mesh — the renderer's analogue of data-parallel training.
+    """
+    n_pix = settings.width * settings.height
+    n_data = mesh.shape["data"]
+    padded = _pad_pixels(n_pix, n_data)
+
+    def local_loss(params, target, pix, s_idx):
+        scene = param_to_scene(params)
+        film_local = film_mod.new_film(settings.width, settings.height)
+        for s in range(settings.samples_per_pass):
+            sample_idx = jnp.broadcast_to(
+                (s_idx * settings.samples_per_pass + s).astype(jnp.uint32),
+                pix.shape,
+            )
+            film_local = render_mod.render_wave(
+                scene, camera, film_local, settings, pix, sample_idx
+            )
+        rgb = jax.lax.psum(film_local.rgb, ("data", "sample"))
+        weight = jax.lax.psum(film_local.weight, ("data", "sample"))
+        img = rgb / jnp.maximum(weight[..., None], 1e-8)
+        return jnp.mean((img - target) ** 2)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data")),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    def sharded_grad(params, opt_state, target, pix):
+        s_idx = jax.lax.axis_index("sample")
+        loss, grads = jax.value_and_grad(local_loss)(params, target, pix, s_idx)
+        # loss/grads already include psum'd film; they are replicated-equal
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    pixel_idx = jnp.arange(padded, dtype=jnp.uint32) % jnp.uint32(max(n_pix, 1))
+
+    @jax.jit
+    def train_step(params, opt_state, target):
+        return sharded_grad(params, opt_state, target, pixel_idx)
+
+    return train_step
