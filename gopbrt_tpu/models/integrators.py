@@ -59,9 +59,14 @@ class PathConfig(NamedTuple):
     mis: bool = True  # MIS with BSDF samples hitting lights
 
 
+# below this primitive count the dense masked test beats lockstep BVH
+# traversal on a vector machine (no divergence, pure VPU throughput)
+BRUTE_FORCE_CUTOFF = 64
+
+
 def _scene_intersect(scene: Scene, o, d, t_max):
     """Closest hit -> (hit, t, prim_idx); BVH when attached, else brute."""
-    if scene.bvh is not None:
+    if scene.bvh is not None and scene.prims.count > BRUTE_FORCE_CUTOFF:
         from gopbrt_tpu.ops import bvh as bvh_mod
 
         return bvh_mod.bvh_intersect(scene.bvh, scene.prims, o, d, t_max)
@@ -69,7 +74,7 @@ def _scene_intersect(scene: Scene, o, d, t_max):
 
 
 def _scene_intersect_p(scene: Scene, o, d, t_max):
-    if scene.bvh is not None:
+    if scene.bvh is not None and scene.prims.count > BRUTE_FORCE_CUTOFF:
         from gopbrt_tpu.ops import bvh as bvh_mod
 
         return bvh_mod.bvh_intersect_p(scene.bvh, scene.prims, o, d, t_max)

@@ -39,6 +39,11 @@ class RenderSettings(NamedTuple):
     stratify: bool = True  # stratified pixel jitter (NewStratified, server.go:142)
     filter: Filter = box_filter(1.0)
     samples_per_pass: int = 1  # spp folded into one device launch
+    # wavefront chunk: pixels per launch segment inside a pass.  Bounds the
+    # peak HBM footprint of the bounce loop's carried state (the analogue of
+    # the reference's 16px tiles, integrator.go:297-299 — but chunked for
+    # memory, not for parallelism).  0 = whole image in one wavefront.
+    chunk_pixels: int = 1 << 19
 
 
 def camera_samples(settings: RenderSettings, pixel_idx, sample_idx, seed):
@@ -96,14 +101,35 @@ def render_pass(
     settings: RenderSettings,
     sample_base: jnp.ndarray,
 ) -> film_mod.Film:
-    """One full-image pass: samples_per_pass spp in one launch."""
+    """One full-image pass: samples_per_pass spp, chunked over pixels.
+
+    Chunks iterate under ``lax.scan`` so the chunk body is compiled once
+    regardless of image size (compile time matters: TPU compiles are
+    remote in some deployments).
+    """
     n_pix = settings.width * settings.height
-    pixel_idx = jnp.arange(n_pix, dtype=jnp.uint32)
-    for s in range(settings.samples_per_pass):
-        sample_idx = jnp.broadcast_to(
-            sample_base.astype(jnp.uint32) + jnp.uint32(s), (n_pix,)
-        )
-        film = render_wave(scene, camera, film, settings, pixel_idx, sample_idx)
+    chunk = settings.chunk_pixels or n_pix
+    chunk = min(chunk, n_pix)
+    n_chunks = -(-n_pix // chunk)
+
+    def chunk_body(film, c0):
+        idx = c0 + jnp.arange(chunk, dtype=jnp.uint32)
+        # padding lanes (last chunk) splat far off-film and are dropped
+        pixel_idx = jnp.where(idx < n_pix, idx, jnp.uint32(0x7FFFFFFF))
+        for s in range(settings.samples_per_pass):
+            sample_idx = jnp.broadcast_to(
+                sample_base.astype(jnp.uint32) + jnp.uint32(s), (chunk,)
+            )
+            film = render_wave(
+                scene, camera, film, settings, pixel_idx, sample_idx
+            )
+        return film, None
+
+    if n_chunks == 1:
+        film, _ = chunk_body(film, jnp.uint32(0))
+        return film
+    starts = (jnp.arange(n_chunks) * chunk).astype(jnp.uint32)
+    film, _ = jax.lax.scan(chunk_body, film, starts)
     return film
 
 

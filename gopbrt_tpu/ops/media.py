@@ -1,0 +1,65 @@
+"""Participating media: transmittance + phase functions.
+
+The reference defines the interfaces only — ``Medium{Tr, Sample}``,
+``PhaseFunction`` (``pkg/pbrt/medium.go:5-25``) and the Henyey–Greenstein
+phase function (``pkg/pbrt/interaction.go:309-331``) — but ships no
+concrete medium: ``handleMedia`` is always false in its integrators
+(path.go:85).  Here the interface set is completed with a working
+homogeneous medium (Beer–Lambert transmittance + distance sampling), used
+by the volumetric-transmittance shadow path (``Scene.IntersectTr`` /
+``VisibilityTester.Tr``, scene.go:58-77 / light.go:50-73 analogue).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from gopbrt_tpu.ops.geom import INV_4PI, PI, dot
+
+
+class HomogeneousMedium(NamedTuple):
+    """sigma_a/sigma_s per RGB channel, HG asymmetry g.  A single global
+    medium (the "camera medium"); per-primitive interior media are a
+    planned extension of the primitive table."""
+
+    sigma_a: jnp.ndarray  # f32[3]
+    sigma_s: jnp.ndarray  # f32[3]
+    g: jnp.ndarray  # f32[]
+
+    @property
+    def sigma_t(self) -> jnp.ndarray:
+        return self.sigma_a + self.sigma_s
+
+
+def transmittance(medium: HomogeneousMedium, dist: jnp.ndarray) -> jnp.ndarray:
+    """Beer–Lambert Tr = exp(-sigma_t * d) (Medium.Tr).  dist[N] -> [N,3]."""
+    return jnp.exp(-medium.sigma_t * jnp.maximum(dist, 0.0)[..., None])
+
+
+def sample_distance(medium: HomogeneousMedium, u: jnp.ndarray, channel: jnp.ndarray):
+    """Sample a scattering distance ~ sigma_t exp(-sigma_t d) on the chosen
+    RGB channel (Medium.Sample).  Returns (t, pdf-weighted throughput is
+    handled by the caller via MIS over channels)."""
+    st = medium.sigma_t[channel]
+    return -jnp.log(jnp.maximum(1.0 - u, 1e-10)) / jnp.maximum(st, 1e-10)
+
+
+def hg_phase(cos_theta: jnp.ndarray, g) -> jnp.ndarray:
+    """Henyey–Greenstein p(cosθ) (interaction.go:309-317 PhaseHG)."""
+    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    return INV_4PI * (1.0 - g * g) / jnp.maximum(
+        denom * jnp.sqrt(jnp.maximum(denom, 1e-12)), 1e-12
+    )
+
+
+def hg_sample(u: jnp.ndarray, g) -> jnp.ndarray:
+    """Sample cosθ ~ HG (interaction.go:319-331 SampleP)."""
+    g = jnp.asarray(g)
+    iso = jnp.abs(g) < 1e-3
+    cos_iso = 1.0 - 2.0 * u
+    sq = (1.0 - g * g) / jnp.maximum(1.0 - g + 2.0 * g * u, 1e-10)
+    two_g = jnp.where(jnp.abs(g) < 5e-4, 1e-3, 2.0 * g)  # sign-preserving
+    cos_hg = (1.0 + g * g - sq * sq) / two_g
+    return jnp.where(iso, cos_iso, jnp.clip(cos_hg, -1.0, 1.0))

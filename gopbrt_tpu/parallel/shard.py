@@ -168,7 +168,14 @@ def make_train_step(
     def sharded_grad(params, opt_state, target, pix):
         s_idx = jax.lax.axis_index("sample")
         loss, grads = jax.value_and_grad(local_loss)(params, target, pix, s_idx)
-        # loss/grads already include psum'd film; they are replicated-equal
+        # Combine per-device partial gradients.  Under shard_map with
+        # check_rep=False, the film-psum's transpose re-broadcasts the full
+        # cotangent to every device, so a plain psum over-counts by the mesh
+        # size — pmean gives exactly the single-device gradient (verified
+        # against jax.grad in tests/test_sharding.py).  This all-reduce is
+        # the renderer's "gradient all-reduce over ICI", overlapped with the
+        # backward sweep by XLA.
+        grads = jax.lax.pmean(grads, ("data", "sample"))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -1,0 +1,180 @@
+"""End-to-end render tests: physics sanity on analytically checkable scenes.
+
+The reference has no integration tests at all (SURVEY §4); these fill that
+gap with closed-form radiometry checks (the strongest oracle available
+without running the Go binary, which is not installed in this image).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gopbrt_tpu.models import camera as cam_mod
+from gopbrt_tpu.models import film as film_mod
+from gopbrt_tpu.models import render as render_mod
+from gopbrt_tpu.models.demo import build_demo_camera, build_demo_scene
+from gopbrt_tpu.models.scene import SceneBuilder
+from gopbrt_tpu.ops import geom
+
+
+def simple_scene(kd=(0.6, 0.6, 0.6), accelerator="none"):
+    """Lambertian floor + point light overhead: L = I/d^2 * kd/pi * cos."""
+    b = SceneBuilder()
+    floor = b.matte(kd=kd)
+    b.disk(np.asarray(geom.rotate_x(-90.0)), 100.0, floor)  # y=0 plane
+    b.point_light(p=(0.0, 10.0, 0.0), intensity=(100.0, 100.0, 100.0))
+    return b.build(accelerator=accelerator)
+
+
+def down_camera(w=32, h=32, height=5.0):
+    """Looking straight down at the origin."""
+    m = geom.look_at([0.0, height, 1e-3], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+    return cam_mod.perspective_camera(m, w, h, fov_deg=30.0)
+
+
+class TestAnalyticDirectLighting:
+    def test_point_light_inverse_square(self):
+        # patch under the light: d=10, cos=1 -> L = kd/pi * I/d^2
+        scene = simple_scene(kd=(0.6, 0.6, 0.6))
+        cam = down_camera()
+        settings = render_mod.RenderSettings(
+            width=32, height=32, spp=8, max_depth=1, integrator="path",
+            samples_per_pass=1,
+        )
+        img_lin = render_mod.render(scene, cam, settings)
+        # undo srgb for comparison
+        scene_img = np.asarray(img_lin)
+        expected_lin = 0.6 / np.pi * 100.0 / 100.0  # = 0.1909
+        expected_srgb = float(film_mod.srgb_encode(jnp.asarray(expected_lin)))
+        center = scene_img[14:18, 14:18].mean(axis=(0, 1))
+        np.testing.assert_allclose(center, expected_srgb, rtol=0.02)
+
+    def test_direct_equals_path_for_one_bounce_scene(self):
+        scene = simple_scene()
+        cam = down_camera()
+        common = dict(width=16, height=16, spp=4, samples_per_pass=1)
+        s_path = render_mod.RenderSettings(
+            max_depth=1, integrator="path", **common
+        )
+        s_direct = render_mod.RenderSettings(
+            max_depth=2, integrator="direct", **common
+        )
+        a = np.asarray(render_mod.render(scene, cam, s_path))
+        b = np.asarray(render_mod.render(scene, cam, s_direct))
+        np.testing.assert_allclose(a, b, atol=0.02)
+
+    def test_shadow(self):
+        # blocker disk between light and floor casts a shadow at center
+        b = SceneBuilder()
+        floor = b.matte(kd=(0.7, 0.7, 0.7))
+        b.disk(np.asarray(geom.rotate_x(-90.0)), 100.0, floor)
+        blocker = b.matte(kd=(0.0, 0.0, 0.0))
+        b.disk(
+            np.asarray(
+                geom.matmul(geom.translate([0.0, 5.0, 0.0]), geom.rotate_x(-90.0))
+            ),
+            1.0,
+            blocker,
+        )
+        b.point_light(p=(0.0, 10.0, 0.0), intensity=(100.0, 100.0, 100.0))
+        scene = b.build(accelerator="none")
+        # umbra radius on the floor is 2 (light at 10, blocker r=1 at 5);
+        # fov 90 from h=3 shows the floor out to ~3+, so corners are lit
+        m = geom.look_at([0.0, 3.0, 1e-3], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+        cam = cam_mod.perspective_camera(m, 32, 32, fov_deg=90.0)
+        settings = render_mod.RenderSettings(
+            width=32, height=32, spp=4, max_depth=1, samples_per_pass=1
+        )
+        img = np.asarray(render_mod.render(scene, cam, settings))
+        center = img[14:18, 14:18].mean()
+        corner = img[:2, :2].mean()
+        assert center < 0.02  # in shadow
+        assert corner > 0.1  # lit
+
+
+class TestMirrorAndEmitter:
+    def test_mirror_shows_emitter(self):
+        # camera -> mirror floor -> sees an emissive sphere by reflection
+        b = SceneBuilder()
+        mirror = b.mirror(kr=(1.0, 1.0, 1.0))
+        b.disk(np.asarray(geom.rotate_x(-90.0)), 100.0, mirror)
+        dark = b.matte(kd=(0.0, 0.0, 0.0))
+        s = b.sphere(np.asarray(geom.translate([0.0, 6.0, 0.0])), 1.0, dark)
+        b.area_light(s, radiance=(5.0, 5.0, 5.0), two_sided=False)
+        scene = b.build(accelerator="none")
+        cam = down_camera(height=3.0)
+        settings = render_mod.RenderSettings(
+            width=24, height=24, spp=8, max_depth=3, samples_per_pass=1
+        )
+        img = np.asarray(render_mod.render(scene, cam, settings))
+        assert img[10:14, 10:14].mean() > 0.5  # bright reflection of emitter
+
+    def test_camera_visible_emitter(self):
+        # quirk #4 fixed: directly visible emitters contribute
+        b = SceneBuilder()
+        dark = b.matte(kd=(0.0, 0.0, 0.0))
+        s = b.sphere(np.asarray(geom.translate([0.0, 0.0, 0.0])), 1.0, dark)
+        b.area_light(s, radiance=(2.0, 2.0, 2.0), two_sided=False)
+        scene = b.build(accelerator="none")
+        cam = cam_mod.perspective_camera(
+            geom.look_at([0.0, 0.0, 5.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+            16, 16, fov_deg=40.0,
+        )
+        settings = render_mod.RenderSettings(
+            width=16, height=16, spp=4, max_depth=2, samples_per_pass=1
+        )
+        img = np.asarray(render_mod.render(scene, cam, settings))
+        assert img[7:9, 7:9].mean() > 0.9  # emitter saturates
+
+
+class TestDeterminismAndSeeds:
+    def test_same_seed_bit_identical(self):
+        scene = simple_scene()
+        cam = down_camera(16, 16)
+        settings = render_mod.RenderSettings(
+            width=16, height=16, spp=2, max_depth=2, seed=5, samples_per_pass=1
+        )
+        a = np.asarray(render_mod.render(scene, cam, settings))
+        b = np.asarray(render_mod.render(scene, cam, settings))
+        np.testing.assert_array_equal(a, b)
+
+    def test_different_seed_differs(self):
+        scene = simple_scene()
+        cam = down_camera(16, 16)
+        s1 = render_mod.RenderSettings(
+            width=16, height=16, spp=1, max_depth=3, seed=1, samples_per_pass=1
+        )
+        s2 = s1._replace(seed=2)
+        a = np.asarray(render_mod.render(scene, cam, s1))
+        b = np.asarray(render_mod.render(scene, cam, s2))
+        assert not np.array_equal(a, b)
+
+
+class TestDemoScene:
+    def test_demo_smoke_with_bvh_matches_bruteforce(self):
+        scene_bvh = build_demo_scene(accelerator="bvh")
+        scene_bf = scene_bvh._replace(bvh=None)
+        cam = build_demo_camera(48, 27)
+        settings = render_mod.RenderSettings(
+            width=48, height=27, spp=2, max_depth=3, samples_per_pass=1
+        )
+        a = np.asarray(render_mod.render(scene_bvh, cam, settings))
+        b = np.asarray(render_mod.render(scene_bf, cam, settings))
+        assert np.isfinite(a).all()
+        # identical sample streams + equivalent intersection -> near-identical
+        assert (np.abs(a - b) < 2e-2).mean() > 0.995
+
+    def test_checkerboard_has_two_tones(self):
+        scene = build_demo_scene(accelerator="bvh")
+        cam = cam_mod.perspective_camera(
+            geom.look_at([30.0, 20.0, 60.0], [30.0, 0.0, 20.0], [0.0, 1.0, 0.0]),
+            32, 32, fov_deg=50.0,
+        )
+        settings = render_mod.RenderSettings(
+            width=32, height=32, spp=4, max_depth=2, samples_per_pass=1
+        )
+        img = np.asarray(render_mod.render(scene, cam, settings)).mean(axis=-1)
+        lit = img[img > 0.01]
+        assert lit.size > 50
+        # bimodal floor: bright and dark checker tiles both present
+        assert (lit > np.median(lit) * 1.5).any() or (lit < np.median(lit) * 0.6).any()
