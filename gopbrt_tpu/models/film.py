@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gopbrt_tpu.ops.filters import Filter, box_filter, evaluate
@@ -64,6 +65,65 @@ def add_samples(film: Film, p_film: jnp.ndarray, L: jnp.ndarray,
             rgb = rgb.at[py, px].add(fw[:, None] * L, mode="drop")
             wsum = wsum.at[py, px].add(fw, mode="drop")
     return Film(rgb=rgb, weight=wsum)
+
+
+def add_samples_rows(film: Film, row0, jitter: jnp.ndarray, L: jnp.ndarray,
+                     filt: Filter = box_filter(1.0)) -> Film:
+    """Row-aligned dense splat: one sample per pixel for a contiguous band
+    of image rows starting at (traced) row ``row0``.
+
+    Same math as :func:`add_samples`, but because lanes are laid out in
+    image order the filter footprint becomes a static set of *shifted
+    dense adds* instead of a scatter — on TPU this is the difference
+    between ~1 ms and hundreds of ms per wavefront (scatters serialize on
+    colliding indices).  Taps that fall outside the image are discarded
+    via the pad margins.  Differentiable w.r.t. L.
+
+    jitter: f32[rows, W, 2] sample offset within each pixel in [0, 1)^2.
+    L:      f32[rows, W, 3].
+    """
+    rows, w_img = L.shape[0], L.shape[1]
+    h_img = film.weight.shape[0]
+    assert film.weight.shape[1] == w_img
+    r = filt.radius
+    rr = int(np.ceil(r))
+    jx = jitter[..., 0]
+    jy = jitter[..., 1]
+    # samples on padding rows beyond the image contribute nothing — their
+    # filter taps would otherwise bleed into the last valid rows
+    row_valid = (
+        jnp.asarray(row0, jnp.int32) + jnp.arange(rows, dtype=jnp.int32)
+    ) < h_img  # [rows]
+
+    acc_rgb = jnp.zeros((rows + 2 * rr, w_img + 2 * rr, 3), jnp.float32)
+    acc_w = jnp.zeros((rows + 2 * rr, w_img + 2 * rr), jnp.float32)
+    for oy in range(-rr, rr + 1):
+        for ox in range(-rr, rr + 1):
+            # offset from tap pixel center (x+ox+0.5) to sample (x+jx)
+            fw = evaluate(filt, ox + 0.5 - jx, oy + 0.5 - jy)
+            fw = jnp.where(row_valid[:, None], fw, 0.0)
+            ys = slice(oy + rr, oy + rr + rows)
+            xs = slice(ox + rr, ox + rr + w_img)
+            acc_rgb = acc_rgb.at[ys, xs].add(fw[..., None] * L)
+            acc_w = acc_w.at[ys, xs].add(fw)
+
+    # fold the accumulator band into the film at dynamic row offset;
+    # bottom pad has `rows` slack so the final (partially off-image) band
+    # clips instead of clamping out of alignment
+    pad_rgb = jnp.pad(film.rgb, ((rr, rr + rows), (0, 0), (0, 0)))
+    pad_w = jnp.pad(film.weight, ((rr, rr + rows), (0, 0)))
+    row0 = jnp.asarray(row0, jnp.int32)
+    slab_rgb = jax.lax.dynamic_slice(
+        pad_rgb, (row0, 0, 0), (rows + 2 * rr, w_img, 3)
+    ) + acc_rgb[:, rr : rr + w_img]
+    slab_w = jax.lax.dynamic_slice(
+        pad_w, (row0, 0), (rows + 2 * rr, w_img)
+    ) + acc_w[:, rr : rr + w_img]
+    pad_rgb = jax.lax.dynamic_update_slice(pad_rgb, slab_rgb, (row0, 0, 0))
+    pad_w = jax.lax.dynamic_update_slice(pad_w, slab_w, (row0, 0))
+    return Film(
+        rgb=pad_rgb[rr : rr + h_img], weight=pad_w[rr : rr + h_img]
+    )
 
 
 def merge(a: Film, b: Film) -> Film:

@@ -63,13 +63,33 @@ class PathConfig(NamedTuple):
 # traversal on a vector machine (no divergence, pure VPU throughput)
 BRUTE_FORCE_CUTOFF = 64
 
+# use the fused Pallas intersection kernel (ops/pallas_intersect.py):
+# True / False / None = auto (TPU only; interpret-mode elsewhere is slow)
+USE_PALLAS_INTERSECT: bool | None = None
+
+
+def _pallas_on() -> bool:
+    if USE_PALLAS_INTERSECT is not None:
+        return USE_PALLAS_INTERSECT
+    return jax.default_backend() == "tpu"
+
 
 def _scene_intersect(scene: Scene, o, d, t_max):
-    """Closest hit -> (hit, t, prim_idx); BVH when attached, else brute."""
+    """Closest hit -> (hit, t, prim_idx); BVH when attached, else brute.
+
+    Intersection search is a discrete decision — detached from autodiff
+    (detached-sampling estimator); shading re-derives hit geometry
+    differentiably from (t, prim_idx) in surface_interaction.
+    """
     if scene.bvh is not None and scene.prims.count > BRUTE_FORCE_CUTOFF:
         from gopbrt_tpu.ops import bvh as bvh_mod
 
         return bvh_mod.bvh_intersect(scene.bvh, scene.prims, o, d, t_max)
+    if _pallas_on():
+        from gopbrt_tpu.ops import pallas_intersect as pk
+
+        sg = jax.lax.stop_gradient
+        return pk.intersect_brute_pallas(scene.prims, sg(o), sg(d), sg(t_max))
     return isect.intersect_brute(scene.prims, o, d, t_max)
 
 
@@ -78,27 +98,51 @@ def _scene_intersect_p(scene: Scene, o, d, t_max):
         from gopbrt_tpu.ops import bvh as bvh_mod
 
         return bvh_mod.bvh_intersect_p(scene.bvh, scene.prims, o, d, t_max)
+    if _pallas_on():
+        from gopbrt_tpu.ops import pallas_intersect as pk
+
+        sg = jax.lax.stop_gradient
+        return pk.intersect_p_brute_pallas(
+            scene.prims, sg(o), sg(d), sg(t_max)
+        )
     return isect.intersect_p_brute(scene.prims, o, d, t_max)
 
 
 def _material_at(scene: Scene, si: isect.SurfaceInteraction) -> bsdf_ops.MaterialParams:
     """Gather + texture-evaluate material params at hits — the wavefront
     counterpart of ComputeScatteringFunctions (interaction.go:217-223 ->
-    matte.go:21-37 etc.)."""
+    matte.go:21-37 etc.).
+
+    All float fields are packed into one [M, 12] matrix so the per-lane
+    lookup is a single one-hot matmul (TPU dynamic row-gathers serialize;
+    one-hot rides the MXU — see ops/intersect.gather_rows).
+    """
     mid = scene.prims.material_id[si.prim_idx]
     mats = scene.materials
-    kd_const = mats.kd[mid]
+    packed = jnp.concatenate(
+        [
+            mats.kd,
+            mats.kr,
+            mats.kt,
+            mats.sigma[:, None],
+            mats.eta[:, None],
+            mats.roughness[:, None],
+        ],
+        axis=1,
+    )  # [M, 12]
+    rows = isect.gather_rows(packed, mid)
+    kd_const = rows[..., 0:3]
     kd_tex = mats.kd_tex[mid]
     kd_sampled = tex_ops.eval_spectrum(scene.textures, kd_tex, si.p, si.uv)
     kd = jnp.where((kd_tex >= 0)[..., None], kd_sampled, kd_const)
     return bsdf_ops.MaterialParams(
         mat_type=mats.mat_type[mid],
         kd=kd,
-        sigma=mats.sigma[mid],
-        kr=mats.kr[mid],
-        kt=mats.kt[mid],
-        eta=mats.eta[mid],
-        roughness=mats.roughness[mid],
+        sigma=rows[..., 9],
+        kr=rows[..., 3:6],
+        kt=rows[..., 6:9],
+        eta=rows[..., 10],
+        roughness=rows[..., 11],
     )
 
 

@@ -93,6 +93,50 @@ def render_wave(
     return film_mod.add_samples(film, p_film, L, settings.filter)
 
 
+def render_wave_rows(
+    scene: Scene,
+    camera: cam_mod.Camera,
+    film: film_mod.Film,
+    settings: RenderSettings,
+    row0: jnp.ndarray,
+    n_rows: int,
+    sample_idx: jnp.ndarray,
+) -> film_mod.Film:
+    """Render a contiguous band of ``n_rows`` image rows (one sample per
+    pixel) and splat with the dense row-aligned path — the fast layout used
+    by the chunked driver and the sharded renderer.  Rows beyond the image
+    (last band) render junk that the splat's pad margin discards.
+    """
+    w = settings.width
+    seed = jnp.uint32(settings.seed)
+    y = row0.astype(jnp.uint32) + jnp.arange(n_rows, dtype=jnp.uint32)[:, None]
+    x = jnp.arange(w, dtype=jnp.uint32)[None, :]
+    pixel_idx = (y * jnp.uint32(w) + x).reshape(-1)
+    sample_flat = jnp.broadcast_to(sample_idx.astype(jnp.uint32), pixel_idx.shape)
+    p_film, u_lens = camera_samples(settings, pixel_idx, sample_flat, seed)
+    # jitter relative to the pixel corner (camera_samples adds it to px,py)
+    px = (pixel_idx % jnp.uint32(w)).astype(jnp.float32)
+    py = (pixel_idx // jnp.uint32(w)).astype(jnp.float32)
+    jitter = p_film - jnp.stack([px, py], axis=-1)
+    o, d = cam_mod.generate_rays(camera, p_film, u_lens)
+    if settings.integrator == "direct":
+        L = integrators.li_direct(
+            scene, o, d, pixel_idx, sample_flat, seed, max_depth=settings.max_depth
+        )
+    else:
+        cfg = integrators.PathConfig(
+            max_depth=settings.max_depth, rr_threshold=settings.rr_threshold
+        )
+        L = integrators.li(scene, o, d, pixel_idx, sample_flat, seed, cfg)
+    return film_mod.add_samples_rows(
+        film,
+        row0,
+        jitter.reshape(n_rows, w, 2),
+        L.reshape(n_rows, w, 3),
+        settings.filter,
+    )
+
+
 @partial(jax.jit, static_argnames=("settings",))
 def render_pass(
     scene: Scene,
@@ -101,35 +145,30 @@ def render_pass(
     settings: RenderSettings,
     sample_base: jnp.ndarray,
 ) -> film_mod.Film:
-    """One full-image pass: samples_per_pass spp, chunked over pixels.
+    """One full-image pass: samples_per_pass spp, chunked over row bands.
 
-    Chunks iterate under ``lax.scan`` so the chunk body is compiled once
+    Bands iterate under ``lax.scan`` so the band body is compiled once
     regardless of image size (compile time matters: TPU compiles are
     remote in some deployments).
     """
-    n_pix = settings.width * settings.height
-    chunk = settings.chunk_pixels or n_pix
-    chunk = min(chunk, n_pix)
-    n_chunks = -(-n_pix // chunk)
+    w, h = settings.width, settings.height
+    chunk = settings.chunk_pixels or (w * h)
+    band_rows = max(1, min(chunk // w, h))
+    n_bands = -(-h // band_rows)
 
-    def chunk_body(film, c0):
-        idx = c0 + jnp.arange(chunk, dtype=jnp.uint32)
-        # padding lanes (last chunk) splat far off-film and are dropped
-        pixel_idx = jnp.where(idx < n_pix, idx, jnp.uint32(0x7FFFFFFF))
+    def band_body(film, r0):
         for s in range(settings.samples_per_pass):
-            sample_idx = jnp.broadcast_to(
-                sample_base.astype(jnp.uint32) + jnp.uint32(s), (chunk,)
-            )
-            film = render_wave(
-                scene, camera, film, settings, pixel_idx, sample_idx
+            film = render_wave_rows(
+                scene, camera, film, settings, r0, band_rows,
+                sample_base.astype(jnp.uint32) + jnp.uint32(s),
             )
         return film, None
 
-    if n_chunks == 1:
-        film, _ = chunk_body(film, jnp.uint32(0))
+    if n_bands == 1:
+        film, _ = band_body(film, jnp.int32(0))
         return film
-    starts = (jnp.arange(n_chunks) * chunk).astype(jnp.uint32)
-    film, _ = jax.lax.scan(chunk_body, film, starts)
+    starts = (jnp.arange(n_bands) * band_rows).astype(jnp.int32)
+    film, _ = jax.lax.scan(band_body, film, starts)
     return film
 
 

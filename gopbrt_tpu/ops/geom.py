@@ -25,7 +25,13 @@ from __future__ import annotations
 import math
 from functools import partial
 
+import jax
 import jax.numpy as jnp
+
+# All einsums here are tiny affine transforms on the hot path — force f32:
+# TPU defaults matmul/einsum precision to bf16, which corrupts ray
+# transforms at the 0.4% level (discovered via the Pallas kernel oracle).
+_HI = jax.lax.Precision.HIGHEST
 
 # ---------------------------------------------------------------------------
 # Constants (counterpart of pkg/math/math.go:7-20, with the MachineEpsilon
@@ -266,23 +272,23 @@ def orthographic(z_near, z_far) -> jnp.ndarray:
 
 def apply_point(m: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Transform points; divides by w (transform.go TransformPoint)."""
-    r = jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
-    w = jnp.einsum("...j,...j->...", m[..., 3, :3], p) + m[..., 3, 3]
+    r = jnp.einsum("...ij,...j->...i", m[..., :3, :3], p, precision=_HI) + m[..., :3, 3]
+    w = jnp.einsum("...j,...j->...", m[..., 3, :3], p, precision=_HI) + m[..., 3, 3]
     return r / w[..., None]
 
 
 def apply_point_affine(m: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Transform points assuming last row (0,0,0,1) — the hot-path case."""
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p, precision=_HI) + m[..., :3, 3]
 
 
 def apply_vector(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v, precision=_HI)
 
 
 def apply_normal(m_inv: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """Normals transform by the inverse transpose (transform.go TransformNormal)."""
-    return jnp.einsum("...ji,...j->...i", m_inv[..., :3, :3], n)
+    return jnp.einsum("...ji,...j->...i", m_inv[..., :3, :3], n, precision=_HI)
 
 
 def apply_point_error(m: jnp.ndarray, p: jnp.ndarray):
@@ -291,7 +297,9 @@ def apply_point_error(m: jnp.ndarray, p: jnp.ndarray):
     pt = apply_point_affine(m, p)
     abs_m = jnp.abs(m[..., :3, :3])
     abs_t = jnp.abs(m[..., :3, 3])
-    err = gamma(3) * (jnp.einsum("...ij,...j->...i", abs_m, jnp.abs(p)) + abs_t)
+    err = gamma(3) * (
+        jnp.einsum("...ij,...j->...i", abs_m, jnp.abs(p), precision=_HI) + abs_t
+    )
     return pt, err
 
 

@@ -117,11 +117,23 @@ def _quadratic(a, b, c):
 
 
 def _sphere_roots(oo, od, radius):
-    """Roots of |o + t d|² = r² in object space, recentred for stability."""
+    """Roots of |o + t d|² = r² in object space.
+
+    Recentred ("perpendicular foot") formulation: the naive b²-4ac
+    discriminant loses ~3 digits in f32 whenever |oo| >> r (distant
+    spheres), corrupting every hit at the 1e-3 level.  Evaluating the
+    foot-of-perpendicular vector f = oo + t_foot·od keeps all operands at
+    O(r) scale, giving ~1e-6 relative t error — the f32-friendly stand-in
+    for the reference's EFloat interval solve (pkg/efloat/math.go:35-59).
+    """
     a = length_sq(od)
-    b = 2.0 * dot(oo, od)
-    c = length_sq(oo) - radius * radius
-    return _quadratic(a, b, c)
+    safe_a = jnp.where(a == 0.0, 1.0, a)
+    t_foot = -dot(oo, od) / safe_a
+    f = oo + od * t_foot[..., None]
+    disc_core = radius * radius - length_sq(f)
+    ok = (disc_core >= 0.0) & (a > 0.0)
+    delta = jnp.sqrt(jnp.maximum(disc_core, 0.0) / safe_a)
+    return ok, t_foot - delta, t_foot + delta
 
 
 def _sphere_clip_ok(oo, od, t, radius, z_min, z_max, phi_max):
@@ -340,6 +352,24 @@ def _triangle_geometry(o, d, t, params):
     return p, p_err, n, uv, dpdu, dpdv
 
 
+# Row gathers by per-lane primitive id.  For small tables a one-hot matmul
+# (MXU) vastly outperforms TPU's serialized dynamic-gather; beyond the
+# cutoff fall back to a real gather.
+ONE_HOT_GATHER_MAX = 256
+
+
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] for table f32[P, ...], idx int32[N] -> [N, ...]."""
+    p = table.shape[0]
+    if p > ONE_HOT_GATHER_MAX or table.dtype not in (jnp.float32, jnp.bfloat16):
+        return table[idx]
+    flat = table.reshape(p, -1)
+    oh = jax.nn.one_hot(idx, p, dtype=table.dtype)
+    out = jnp.dot(oh, flat, preferred_element_type=table.dtype,
+                  precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(idx.shape + table.shape[1:])
+
+
 def surface_interaction(
     prims: Primitives, hit, t, prim_idx, o, d
 ) -> SurfaceInteraction:
@@ -348,10 +378,10 @@ def surface_interaction(
     Counterpart of the object->world transform at sphere.go:172-187 and
     interaction.go's normal orientation rules.
     """
-    ptype = prims.prim_type[prim_idx]  # [N]
-    params = prims.params[prim_idx]  # [N,9]
-    o2w = prims.obj_to_world[prim_idx]
-    w2o = prims.world_to_obj[prim_idx]
+    ptype = prims.prim_type[prim_idx]  # [N] (int gather: cheap, 1 word)
+    params = gather_rows(prims.params, prim_idx)  # [N,9]
+    o2w = gather_rows(prims.obj_to_world, prim_idx)
+    w2o = gather_rows(prims.world_to_obj, prim_idx)
     rev = prims.reverse_orientation[prim_idx]
 
     oo = geom.apply_point_affine(w2o, o)

@@ -173,12 +173,14 @@ def sample_li(
     Counterpart of Light.SampleLi for Point (point.go:44-49), Distant
     (distant.go:40-44), DiffuseArea (diffuse.go:47-59).
     """
+    from gopbrt_tpu.ops.intersect import gather_rows
+
     lt = lights.light_type[idx]
-    lp = lights.p[idx]
-    intensity = lights.intensity[idx]
+    lp = gather_rows(lights.p, idx)
+    intensity = gather_rows(lights.intensity, idx)
     two_sided = lights.two_sided[idx]
-    o2w = lights.o2w[idx]
-    params = lights.params[idx]
+    o2w = gather_rows(lights.o2w, idx)
+    params = gather_rows(lights.params, idx)
     shape_kind = lights.shape_kind[idx]
 
     # point light: Li = I / d^2
@@ -234,9 +236,11 @@ def pdf_li(lights: Lights, idx, ref_p, wi) -> jnp.ndarray:
 
     Delta lights return 0 (they can never be hit by a BSDF ray).
     """
+    from gopbrt_tpu.ops.intersect import gather_rows
+
     lt = lights.light_type[idx]
-    o2w = lights.o2w[idx]
-    params = lights.params[idx]
+    o2w = gather_rows(lights.o2w, idx)
+    params = gather_rows(lights.params, idx)
     shape_kind = lights.shape_kind[idx]
 
     center, radius = _area_sphere_geom(o2w, params)

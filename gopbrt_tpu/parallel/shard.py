@@ -46,10 +46,6 @@ def make_mesh(data: int = 0, sample: int = 1, devices=None) -> Mesh:
     return Mesh(dev_array, ("data", "sample"))
 
 
-def _pad_pixels(n_pix: int, shards: int) -> int:
-    return -(-n_pix // shards) * shards
-
-
 def render_pass_sharded(
     mesh: Mesh,
     scene: Scene,
@@ -64,41 +60,39 @@ def render_pass_sharded(
     film is replicated (psum-reduced); pixels shard over 'data'; the
     samples_per_pass spp of this pass shard over 'sample'.
     """
-    n_pix = settings.width * settings.height
     n_data = mesh.shape["data"]
     spp_here = settings.samples_per_pass
-    padded = _pad_pixels(n_pix, n_data)
-    pixel_idx = jnp.arange(padded, dtype=jnp.uint32)
-    # padding lanes get a huge pixel id -> their film-splat taps land far
-    # outside [H,W] and are dropped by the scatter's mode='drop'
-    pixel_idx = jnp.where(pixel_idx < n_pix, pixel_idx, jnp.uint32(0x7FFFFFFF))
+    # each data-shard owns a contiguous band of image rows (the tile
+    # decomposition, integrator.go:296-299 — but as an SPMD sharding)
+    band_rows = -(-settings.height // n_data)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("data")),
+        in_specs=(P(), P(), P()),
         out_specs=P(),
         check_rep=False,
     )
-    def step(scene_, camera_, film_, pix_):
+    def step(scene_, camera_, film_):
         local_film = film_mod.Film(
             rgb=jnp.zeros_like(film_.rgb), weight=jnp.zeros_like(film_.weight)
         )
         s_idx = jax.lax.axis_index("sample")
+        row0 = (jax.lax.axis_index("data") * band_rows).astype(jnp.int32)
         for s in range(spp_here):
-            sample_idx = jnp.broadcast_to(
+            sample_idx = (
                 sample_base.astype(jnp.uint32)
-                + (s_idx * spp_here + s).astype(jnp.uint32),
-                pix_.shape,
+                + (s_idx * spp_here + s).astype(jnp.uint32)
             )
-            local_film = render_mod.render_wave(
-                scene_, camera_, local_film, settings, pix_, sample_idx
+            local_film = render_mod.render_wave_rows(
+                scene_, camera_, local_film, settings, row0, band_rows,
+                sample_idx,
             )
         rgb = jax.lax.psum(local_film.rgb, ("data", "sample"))
         weight = jax.lax.psum(local_film.weight, ("data", "sample"))
         return film_mod.Film(rgb=rgb, weight=weight)
 
-    delta = step(scene, camera, film, pixel_idx)
+    delta = step(scene, camera, film)
     return film_mod.merge(film, delta)
 
 
@@ -138,20 +132,19 @@ def make_train_step(
     pixel MSE against a target image on each device's pixel shard; gradients
     psum over the mesh — the renderer's analogue of data-parallel training.
     """
-    n_pix = settings.width * settings.height
     n_data = mesh.shape["data"]
-    padded = _pad_pixels(n_pix, n_data)
+    band_rows = -(-settings.height // n_data)
 
-    def local_loss(params, target, pix, s_idx):
+    def local_loss(params, target, row0, s_idx):
         scene = param_to_scene(params)
         film_local = film_mod.new_film(settings.width, settings.height)
         for s in range(settings.samples_per_pass):
-            sample_idx = jnp.broadcast_to(
-                (s_idx * settings.samples_per_pass + s).astype(jnp.uint32),
-                pix.shape,
+            sample_idx = (s_idx * settings.samples_per_pass + s).astype(
+                jnp.uint32
             )
-            film_local = render_mod.render_wave(
-                scene, camera, film_local, settings, pix, sample_idx
+            film_local = render_mod.render_wave_rows(
+                scene, camera, film_local, settings, row0, band_rows,
+                sample_idx,
             )
         rgb = jax.lax.psum(film_local.rgb, ("data", "sample"))
         weight = jax.lax.psum(film_local.weight, ("data", "sample"))
@@ -161,13 +154,14 @@ def make_train_step(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("data")),
+        in_specs=(P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_rep=False,
     )
-    def sharded_grad(params, opt_state, target, pix):
+    def sharded_grad(params, opt_state, target):
         s_idx = jax.lax.axis_index("sample")
-        loss, grads = jax.value_and_grad(local_loss)(params, target, pix, s_idx)
+        row0 = (jax.lax.axis_index("data") * band_rows).astype(jnp.int32)
+        loss, grads = jax.value_and_grad(local_loss)(params, target, row0, s_idx)
         # Combine per-device partial gradients.  Under shard_map with
         # check_rep=False, the film-psum's transpose re-broadcasts the full
         # cotangent to every device, so a plain psum over-counts by the mesh
@@ -180,10 +174,8 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    pixel_idx = jnp.arange(padded, dtype=jnp.uint32) % jnp.uint32(max(n_pix, 1))
-
     @jax.jit
     def train_step(params, opt_state, target):
-        return sharded_grad(params, opt_state, target, pixel_idx)
+        return sharded_grad(params, opt_state, target)
 
     return train_step

@@ -72,8 +72,9 @@ class TestProtoCodec:
 
     def test_unknown_fields_skipped(self):
         PbReq, _ = _dynamic_messages()
-        # craft bytes with an extra field number 99 (varint)
-        extra = PbReq(width=5).SerializeToString() + bytes([99 << 3 | 0, 42])
+        # craft bytes with an extra varint field number 99:
+        # tag = 99<<3|0 = 792 -> varint [0x98, 0x06], value 42
+        extra = PbReq(width=5).SerializeToString() + bytes([0x98, 0x06, 42])
         back = RenderRequest.FromString(extra)
         assert back.width == 5
 
