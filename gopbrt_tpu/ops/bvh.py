@@ -57,13 +57,47 @@ def _prim_bounds_np(builder) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(los, np.float32), np.asarray(his, np.float32)
 
 
-def build_bvh_host(builder) -> LinearBVH:
+def build_bvh_host(builder, backend: str = "auto", method: str = "sah") -> LinearBVH:
     """Binned-SAH build (bvh.go:272-411 semantics, iterative re-design)."""
     lo, hi = _prim_bounds_np(builder)
-    return build_from_bounds(lo, hi)
+    return build_from_bounds(lo, hi, backend=backend, method=method)
 
 
-def build_from_bounds(lo: np.ndarray, hi: np.ndarray) -> LinearBVH:
+def build_from_bounds(
+    lo: np.ndarray, hi: np.ndarray, backend: str = "auto", method: str = "sah"
+) -> LinearBVH:
+    """Build the flat BVH.  backend: "auto" prefers the native C++
+    multithreaded builder (gopbrt_tpu/native, the counterpart of the
+    reference's goroutine-parallel build, bvh.go:454-483) and falls back to
+    NumPy; "numpy"/"native" force one.  method: "sah" or "hlbvh"
+    (native backend only; NumPy builder is SAH)."""
+    if backend in ("auto", "native"):
+        from gopbrt_tpu import native
+
+        out = native.bvh_build(
+            np.asarray(lo, np.float32),
+            np.asarray(hi, np.float32),
+            max_leaf=MAX_LEAF,
+            n_buckets=N_BUCKETS,
+            method=method,
+        )
+        if out is not None:
+            nlo, nhi, nright, nfirst, ncount, naxis, order = out
+            return LinearBVH(
+                node_lo=jnp.asarray(nlo),
+                node_hi=jnp.asarray(nhi),
+                node_right=jnp.asarray(nright),
+                node_first=jnp.asarray(nfirst),
+                node_count=jnp.asarray(ncount),
+                node_axis=jnp.asarray(naxis),
+                prim_order=jnp.asarray(order),
+            )
+        if backend == "native":
+            raise RuntimeError("native BVH builder unavailable (no C++ toolchain?)")
+    return _build_from_bounds_numpy(lo, hi)
+
+
+def _build_from_bounds_numpy(lo: np.ndarray, hi: np.ndarray) -> LinearBVH:
     p = lo.shape[0]
     centroids = 0.5 * (lo + hi)
     order: list[int] = []

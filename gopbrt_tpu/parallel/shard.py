@@ -103,7 +103,12 @@ def render_sharded(
     settings: render_mod.RenderSettings,
 ) -> jnp.ndarray:
     """Full distributed render (the multi-chip ``Render``)."""
-    film = film_mod.new_film(settings.width, settings.height)
+    # pin inputs to the mesh's devices: the mesh may live on a different
+    # backend than the default (e.g. a virtual-CPU validation mesh while the
+    # default backend is a single TPU)
+    rep = NamedSharding(mesh, P())
+    scene, camera = jax.device_put((scene, camera), rep)
+    film = jax.device_put(film_mod.new_film(settings.width, settings.height), rep)
     n_sample = mesh.shape["sample"]
     spp_per_pass = settings.samples_per_pass * n_sample
     n_passes = -(-settings.spp // spp_per_pass)
@@ -174,8 +179,14 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    @jax.jit
+    jitted = jax.jit(sharded_grad)
+    rep = NamedSharding(mesh, P())
+
     def train_step(params, opt_state, target):
-        return sharded_grad(params, opt_state, target)
+        # pin to the mesh's devices (no-op when already there)
+        params, opt_state, target = jax.device_put(
+            (params, opt_state, target), rep
+        )
+        return jitted(params, opt_state, target)
 
     return train_step
