@@ -145,3 +145,101 @@ def generate_rays(cam: Camera, p_film: jnp.ndarray, u_lens: jnp.ndarray):
 def look_at_camera(eye, target, up, **kw) -> Camera:
     """Convenience: LookAt + perspective (server.go:152-159 pattern)."""
     return perspective_camera(geom.look_at(eye, target, up), **kw)
+
+
+# ---------------------------------------------------------------------------
+# Light-tracing adjoints: We / PdfWe / SampleWi (camera.go:244-324).
+# These treat the camera as a sensor with importance We, enabling particle
+# tracing / BDPT-style algorithms.  Perspective only (the reference likewise
+# implements them on PerspectiveCamera).
+# ---------------------------------------------------------------------------
+
+
+PI = math.pi
+
+
+def _camera_frame(cam: Camera):
+    c2w = cam.camera_to_world
+    pos = c2w[:3, 3]
+    forward = normalize(c2w[:3, 2][None, :])[0]  # camera +z in world
+    return pos, forward
+
+
+def _film_area(cam: Camera, width: int, height: int):
+    """Area of the film's image rectangle at z=1 (camera.go:244-262:
+    pMin/pMax = RasterToCamera of the raster corners, divided by z)."""
+    r2c = cam.raster_to_camera
+    p_min = geom.apply_point(r2c, jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32))[0]
+    p_max = geom.apply_point(
+        r2c, jnp.asarray([[float(width), float(height), 0.0]], jnp.float32)
+    )[0]
+    p_min = p_min / p_min[2]
+    p_max = p_max / p_max[2]
+    return jnp.abs((p_max[0] - p_min[0]) * (p_max[1] - p_min[1]))
+
+
+def we(cam: Camera, width: int, height: int, o, d):
+    """Importance carried by camera ray (o, d)[N] (PerspectiveCamera.We):
+    1 / (A * lensArea * cos^4 theta) when the ray originates on the lens and
+    points at the film rectangle; 0 otherwise.  Returns (we[N], raster[N,2]).
+    """
+    pos, forward = _camera_frame(cam)
+    cos_t = geom.dot(d, jnp.broadcast_to(forward, d.shape))
+    # project to the focus (or z=1) plane, map back to raster
+    w2c = geom.inverse(cam.camera_to_world)
+    focus = jnp.where(cam.lens_radius > 0.0, cam.focal_distance, 1.0)
+    safe_cos = jnp.where(cos_t <= 0.0, 1.0, cos_t)
+    p_focus_w = o + d * (focus / safe_cos)[..., None]
+    p_focus_c = geom.apply_point_affine(w2c, p_focus_w)
+    # camera_to_raster is projective; apply_point performs the w-divide
+    c2r = geom.inverse(cam.raster_to_camera)
+    p_rast = geom.apply_point(c2r, p_focus_c)
+    in_x = (p_rast[..., 0] >= 0.0) & (p_rast[..., 0] < width)
+    in_y = (p_rast[..., 1] >= 0.0) & (p_rast[..., 1] < height)
+    valid = (cos_t > 0.0) & in_x & in_y
+    lens_area = jnp.where(
+        cam.lens_radius > 0.0, PI * cam.lens_radius ** 2, 1.0
+    )
+    a = _film_area(cam, width, height)
+    cos2 = safe_cos * safe_cos
+    w_val = 1.0 / (a * lens_area * cos2 * cos2)
+    return jnp.where(valid, w_val, 0.0), p_rast[..., :2]
+
+
+def pdf_we(cam: Camera, width: int, height: int, o, d):
+    """(pdf_pos, pdf_dir) of the camera sampling ray (o,d) —
+    PerspectiveCamera.PdfWe: pdf_pos = 1/lensArea, pdf_dir = 1/(A cos^3)."""
+    w_val, _ = we(cam, width, height, o, d)
+    _, forward = _camera_frame(cam)
+    cos_t = geom.dot(d, jnp.broadcast_to(forward, d.shape))
+    valid = w_val > 0.0
+    lens_area = jnp.where(cam.lens_radius > 0.0, PI * cam.lens_radius ** 2, 1.0)
+    a = _film_area(cam, width, height)
+    safe_cos = jnp.where(valid, cos_t, 1.0)
+    pdf_pos = jnp.where(valid, 1.0 / lens_area, 0.0)
+    pdf_dir = jnp.where(valid, 1.0 / (a * safe_cos ** 3), 0.0)
+    return pdf_pos, pdf_dir
+
+
+def sample_wi(cam: Camera, width: int, height: int, ref_p, u_lens):
+    """Sample a direction from ref_p[N,3] to the camera lens
+    (PerspectiveCamera.SampleWi): returns (wi[N,3], we[N,3->scalar], pdf[N],
+    p_lens_world[N,3], raster[N,2])."""
+    p_lens = concentric_sample_disk(u_lens) * cam.lens_radius
+    p_lens_c = jnp.concatenate(
+        [p_lens, jnp.zeros(p_lens.shape[:-1] + (1,), jnp.float32)], axis=-1
+    )
+    p_lens_w = geom.apply_point_affine(
+        cam.camera_to_world, p_lens_c
+    )
+    to_cam = p_lens_w - ref_p
+    dist = jnp.sqrt(jnp.maximum(geom.length_sq(to_cam), 1e-20))
+    wi = to_cam / dist[..., None]
+    _, forward = _camera_frame(cam)
+    # lens normal is the camera forward axis
+    cos_l = geom.dot(-wi, jnp.broadcast_to(forward, wi.shape))
+    lens_area = jnp.where(cam.lens_radius > 0.0, PI * cam.lens_radius ** 2, 1.0)
+    pdf = (dist * dist) / jnp.maximum(cos_l * lens_area, 1e-20)
+    w_val, p_rast = we(cam, width, height, p_lens_w, -wi)
+    pdf = jnp.where(cos_l > 1e-7, pdf, 0.0)
+    return wi, w_val, pdf, p_lens_w, p_rast

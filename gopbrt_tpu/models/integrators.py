@@ -108,6 +108,80 @@ def _scene_intersect_p(scene: Scene, o, d, t_max):
     return isect.intersect_p_brute(scene.prims, o, d, t_max)
 
 
+def _voxel_flat(scene: Scene, p):
+    """Flat voxel index of world point p in the spatial light grid."""
+    g = scene.light_grid
+    v = jnp.floor((p - g.lo) * g.inv_extent * g.dims.astype(jnp.float32))
+    v = jnp.clip(v.astype(jnp.int32), 0, g.dims - 1)
+    return (v[..., 0] * g.dims[1] + v[..., 1]) * g.dims[2] + v[..., 2]
+
+
+def _light_pick(scene: Scene, p, u):
+    """Pick a light for NEE at shading point p: spatial voxel distribution
+    when built (CreateLightSampleDistribution — the Spatial strategy the
+    reference returns nil for, lightdistribution.go:11-19), else the global
+    uniform/power Distribution1D."""
+    if scene.light_grid is not None:
+        flat = _voxel_flat(scene, p)
+        func = isect.gather_rows(scene.light_grid.func, flat)
+        cdf = isect.gather_rows(scene.light_grid.cdf, flat)
+        fint = scene.light_grid.func_int[flat]
+        return sampling.sample_discrete_rows(func, cdf, fint, u)
+    return sampling.sample_discrete(
+        scene.light_func, scene.light_cdf, scene.light_func_int, u
+    )
+
+
+def _light_pick_pmf(scene: Scene, p, light_idx):
+    """pmf that _light_pick at p would choose light_idx (MIS denominator)."""
+    if scene.light_grid is not None:
+        flat = _voxel_flat(scene, p)
+        func = isect.gather_rows(scene.light_grid.func, flat)
+        fint = scene.light_grid.func_int[flat]
+        return sampling.pmf_rows(func, fint, light_idx)
+    n_lights = max(scene.n_lights, 1)
+    return jnp.where(
+        scene.light_func_int > 0,
+        scene.light_func[light_idx]
+        / jnp.maximum(scene.light_func_int * n_lights, 1e-20),
+        1.0 / n_lights,
+    )
+
+
+def _apply_bump(scene: Scene, si: isect.SurfaceInteraction, mid):
+    """Perturb the shading normal by a bump texture (the intended
+    Material.Bump semantics — the reference computes the offset eval point
+    then discards it, material.go:18-34).  Finite-difference height along
+    dpdu/dpdv; detached offsets keep the estimator consistent."""
+    mats = scene.materials
+    if mats.bump_tex is None:
+        return si
+    bt = mats.bump_tex[mid]
+    bscale = mats.bump_scale[mid]
+    has = bt >= 0
+    tex_id = jnp.maximum(bt, 0)
+    du = jnp.float32(5e-3)
+
+    def height(p, uv):
+        rgb = tex_ops.eval_spectrum(scene.textures, tex_id, p, uv)
+        return jnp.mean(rgb, axis=-1)
+
+    h0 = height(si.p, si.uv)
+    off_u = jnp.stack([jnp.full_like(h0, du), jnp.zeros_like(h0)], axis=-1)
+    off_v = jnp.stack([jnp.zeros_like(h0), jnp.full_like(h0, du)], axis=-1)
+    hu = height(si.p + si.dpdu * du, si.uv + off_u)
+    hv = height(si.p + si.dpdv * du, si.uv + off_v)
+    dhdu = (hu - h0) / du * bscale
+    dhdv = (hv - h0) / du * bscale
+    ns_b = jnp.cross(si.dpdu + dhdu[..., None] * si.ns,
+                     si.dpdv + dhdv[..., None] * si.ns)
+    ns_b = normalize(ns_b, eps=1e-20)
+    # keep orientation consistent with the original shading normal
+    ns_b = jnp.where(dot(ns_b, si.ns)[..., None] < 0.0, -ns_b, ns_b)
+    ns = jnp.where(has[..., None], ns_b, si.ns)
+    return si._replace(ns=ns)
+
+
 def _material_at(scene: Scene, si: isect.SurfaceInteraction) -> bsdf_ops.MaterialParams:
     """Gather + texture-evaluate material params at hits — the wavefront
     counterpart of ComputeScatteringFunctions (interaction.go:217-223 ->
@@ -186,9 +260,7 @@ def _estimate_direct(
         return jnp.zeros(si.p.shape, jnp.float32)
 
     u_pick = rng.sample_1d(seed, pixel, sample, dim_base + D_LIGHT_PICK)
-    light_idx, pick_pmf = sampling.sample_discrete(
-        scene.light_func, scene.light_cdf, scene.light_func_int, u_pick
-    )
+    light_idx, pick_pmf = _light_pick(scene, jax.lax.stop_gradient(si.p), u_pick)
     light_idx = jax.lax.stop_gradient(light_idx)
 
     u_light = rng.sample_2d(seed, pixel, sample, dim_base + D_LIGHT_UV)
@@ -301,11 +373,9 @@ def li(
                 scene.lights, jnp.maximum(hit_light, 0), st.o, st.d
             )
             # times the pick pmf of that light under the light distribution
-            pick_pmf = jnp.where(
-                scene.light_func_int > 0,
-                scene.light_func[jnp.maximum(hit_light, 0)]
-                / jnp.maximum(scene.light_func_int * scene.n_lights, 1e-20),
-                1.0 / max(scene.n_lights, 1),
+            # as seen from the *previous* vertex (the ray origin)
+            pick_pmf = _light_pick_pmf(
+                scene, st.o, jnp.maximum(hit_light, 0)
             )
             w_bsdf = jnp.where(
                 st.specular,
@@ -324,6 +394,7 @@ def li(
         # nothing added (the reference likewise has no infinite light).
         alive = st.alive & hit
 
+        si = _apply_bump(scene, si, scene.prims.material_id[si.prim_idx])
         mp = _material_at(scene, si)
         ss, ts, ns = _shading_frame(si)
 
@@ -426,6 +497,7 @@ def li_direct(
             (hit & (hit_light >= 0) & st.specular)[..., None], st.beta * le, 0.0
         )
         alive = st.alive & hit
+        si = _apply_bump(scene, si, scene.prims.material_id[si.prim_idx])
         mp = _material_at(scene, si)
         ss, ts, ns = _shading_frame(si)
         L = L + st.beta * _estimate_direct(

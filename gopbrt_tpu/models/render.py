@@ -37,6 +37,11 @@ class RenderSettings(NamedTuple):
     seed: int = 0
     integrator: str = "path"  # or "direct"
     stratify: bool = True  # stratified pixel jitter (NewStratified, server.go:142)
+    # pixel-sample pattern: "stratified" (default; NewStratified semantics),
+    # "random" (sampler/random.go), or "halton" — scrambled Halton(2,3) with
+    # per-pixel Cranley-Patterson rotation (the reference ships the radical-
+    # inverse tables, lowdiscrepancy.go:210-244, but never built the sampler)
+    sampler: str = "stratified"
     filter: Filter = box_filter(1.0)
     samples_per_pass: int = 1  # spp folded into one device launch
     # wavefront chunk: pixels per launch segment inside a pass.  Bounds the
@@ -52,7 +57,20 @@ def camera_samples(settings: RenderSettings, pixel_idx, sample_idx, seed):
     w = settings.width
     px = (pixel_idx % jnp.uint32(w)).astype(jnp.float32)
     py = (pixel_idx // jnp.uint32(w)).astype(jnp.float32)
-    if settings.stratify:
+    mode = settings.sampler if settings.stratify else "random"
+    if mode == "halton":
+        from gopbrt_tpu.ops import sampling
+
+        # Halton (2,3) over the sample index, decorrelated across pixels by
+        # Cranley–Patterson rotation from the pixel's hash stream
+        h0 = sampling.radical_inverse_base2(sample_idx)
+        h1 = sampling.radical_inverse(1, sample_idx)
+        r = rng.sample_2d(seed, pixel_idx, jnp.uint32(0), integrators.DIM_CAMERA)
+        jitter = jnp.stack(
+            [jnp.mod(h0 + r[..., 0], 1.0), jnp.mod(h1 + r[..., 1], 1.0)],
+            axis=-1,
+        )
+    elif mode == "stratified":
         # stratify over a near-square spp grid
         nx = int(np.floor(np.sqrt(settings.spp))) or 1
         ny = max(settings.spp // nx, 1)
@@ -177,20 +195,78 @@ def render(
     camera: cam_mod.Camera,
     settings: RenderSettings,
     progress: Optional[Callable[[int, int], None]] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
 ) -> jnp.ndarray:
     """Full render: host loop over sample passes (the only Python loop).
 
     Returns the developed image f32[H,W,3] in [0,1] (normalized + sRGB).
     Counterpart of the whole Render->WriteImage pipeline
     (integrator.go:291-350), minus PNG encoding (utils/image.py).
+
+    checkpoint_path: when set, the accumulated film + pass counter are saved
+    atomically every ``checkpoint_every`` passes and the render *resumes*
+    from an existing checkpoint (the reference has no checkpointing — a
+    render runs to completion or is cancelled, SURVEY §5; pass granularity
+    is the natural TPU-side checkpoint unit).
     """
     film = film_mod.new_film(settings.width, settings.height)
     n_passes = -(-settings.spp // settings.samples_per_pass)
-    for p in range(n_passes):
+    start_pass = 0
+    if checkpoint_path is not None:
+        ck = _load_checkpoint(checkpoint_path, settings)
+        if ck is not None:
+            film, start_pass = ck
+    for p in range(start_pass, n_passes):
         film = render_pass(
             scene, camera, film, settings, jnp.uint32(p * settings.samples_per_pass)
         )
+        if checkpoint_path is not None and (
+            (p + 1) % max(checkpoint_every, 1) == 0 or p + 1 == n_passes
+        ):
+            jax.block_until_ready(film)
+            _save_checkpoint(checkpoint_path, settings, film, p + 1)
         if progress is not None:
             jax.block_until_ready(film)
             progress(p + 1, n_passes)
     return film_mod.develop(film)
+
+
+def _checkpoint_key(settings: RenderSettings) -> str:
+    """Settings fingerprint: a checkpoint only resumes an identical render."""
+    return repr((settings.width, settings.height, settings.spp,
+                 settings.max_depth, settings.seed, settings.integrator,
+                 settings.sampler, settings.samples_per_pass))
+
+
+def _save_checkpoint(path: str, settings: RenderSettings, film, next_pass: int):
+    import os
+
+    tmp = path + ".tmp"
+    np.savez(
+        tmp if tmp.endswith(".npz") else tmp,
+        rgb=np.asarray(film.rgb),
+        weight=np.asarray(film.weight),
+        next_pass=np.int64(next_pass),
+        key=np.array(_checkpoint_key(settings)),
+    )
+    # np.savez appends .npz to names without it
+    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(actual_tmp, path)
+
+
+def _load_checkpoint(path: str, settings: RenderSettings):
+    import os
+
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            if str(z["key"]) != _checkpoint_key(settings):
+                return None
+            film = film_mod.Film(
+                rgb=jnp.asarray(z["rgb"]), weight=jnp.asarray(z["weight"])
+            )
+            return film, int(z["next_pass"])
+    except Exception:
+        return None

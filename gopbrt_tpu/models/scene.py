@@ -53,6 +53,25 @@ class Materials(NamedTuple):
     kt: jnp.ndarray  # f32[M,3]
     eta: jnp.ndarray  # f32[M]
     roughness: jnp.ndarray  # f32[M] GGX alpha (pre-remapped at build)
+    # bump mapping (Material.Bump — a discarded stub in the reference,
+    # material.go:18-34; implemented here): float texture perturbing the
+    # shading normal.  None when no material uses bump (skips the cost).
+    bump_tex: Optional[jnp.ndarray] = None  # int32[M], -1 = none
+    bump_scale: Optional[jnp.ndarray] = None  # f32[M]
+
+
+class LightGrid(NamedTuple):
+    """Spatial light-sampling distribution (the reference's unimplemented
+    LightStrategy Spatial, lightdistribution.go:11-19): a voxel grid over
+    the scene bounds with a per-voxel Distribution1D over lights, estimated
+    at build time from distance-attenuated light power."""
+
+    lo: jnp.ndarray  # f32[3] grid origin
+    inv_extent: jnp.ndarray  # f32[3] 1 / world extent
+    dims: jnp.ndarray  # int32[3] grid resolution
+    func: jnp.ndarray  # f32[V, L]
+    cdf: jnp.ndarray  # f32[V, L+1]
+    func_int: jnp.ndarray  # f32[V]
 
 
 class Scene(NamedTuple):
@@ -72,6 +91,7 @@ class Scene(NamedTuple):
     world_center: jnp.ndarray  # f32[3]
     world_radius: jnp.ndarray  # f32[]
     bvh: Optional["object"] = None  # ops.bvh.LinearBVH, attached by build()
+    light_grid: Optional[LightGrid] = None  # spatial strategy only
 
     @property
     def n_lights(self) -> int:
@@ -153,14 +173,19 @@ class SceneBuilder:
         row = dict(
             mat_type=MATTE, kd=(0.5, 0.5, 0.5), kd_tex=-1, sigma=0.0,
             kr=(1.0, 1.0, 1.0), kt=(1.0, 1.0, 1.0), eta=1.5, roughness=0.0,
+            bump_tex=-1, bump_scale=1.0,
         )
         row.update(kw)
         self._materials.append(row)
         return len(self._materials) - 1
 
-    def matte(self, kd=(0.5, 0.5, 0.5), kd_tex: int = -1, sigma: float = 0.0) -> int:
+    def matte(self, kd=(0.5, 0.5, 0.5), kd_tex: int = -1, sigma: float = 0.0,
+              bump_tex: int = -1, bump_scale: float = 1.0) -> int:
         """Matte: Lambertian (sigma=0) or Oren–Nayar (matte.go:21-37)."""
-        return self._add_material(mat_type=MATTE, kd=_rgb(kd), kd_tex=kd_tex, sigma=sigma)
+        return self._add_material(
+            mat_type=MATTE, kd=_rgb(kd), kd_tex=kd_tex, sigma=sigma,
+            bump_tex=bump_tex, bump_scale=bump_scale,
+        )
 
     def mirror(self, kr=(0.9, 0.9, 0.9)) -> int:
         """Perfect mirror (mirror.go:21-32)."""
@@ -344,6 +369,16 @@ class SceneBuilder:
             roughness=jnp.asarray(
                 [m["roughness"] for m in self._materials], jnp.float32
             ),
+            bump_tex=(
+                jnp.asarray([m["bump_tex"] for m in self._materials], jnp.int32)
+                if any(m["bump_tex"] >= 0 for m in self._materials)
+                else None
+            ),
+            bump_scale=(
+                jnp.asarray([m["bump_scale"] for m in self._materials], jnp.float32)
+                if any(m["bump_tex"] >= 0 for m in self._materials)
+                else None
+            ),
         )
         texs = self._build_textures()
         lights = self._build_lights()
@@ -352,6 +387,9 @@ class SceneBuilder:
         radius = float(np.linalg.norm(hi - center))
 
         lf, lcdf, lint = self._light_distribution(lights, radius)
+        light_grid = None
+        if self.light_strategy == "spatial" and self._lights:
+            light_grid = self._build_light_grid(lo, hi)
         scene = Scene(
             prims=prims,
             materials=mats,
@@ -363,6 +401,7 @@ class SceneBuilder:
             world_center=jnp.asarray(center, jnp.float32),
             world_radius=jnp.asarray(radius, jnp.float32),
             bvh=None,
+            light_grid=light_grid,
         )
         if accelerator == "bvh" and n > 4:
             from gopbrt_tpu.ops import bvh as bvh_mod
@@ -429,8 +468,61 @@ class SceneBuilder:
         if self.light_strategy == "power" and lights.count > 0:
             w = lights_ops.power(lights, world_radius)
         else:
+            # "uniform" and the global fallback row for "spatial"
             w = jnp.ones((max(lights.count, 1),), jnp.float32)
         return sampling.distribution_1d(w)
+
+    spatial_resolution: int = 8
+
+    def _build_light_grid(self, wlo: np.ndarray, whi: np.ndarray) -> LightGrid:
+        """Voxelised light importance (the Spatial strategy the reference
+        left unimplemented).  Per voxel v and light l the weight is a
+        deterministic estimate of the unoccluded contribution from the
+        voxel center: lum(power_l) / max(d(v,l)^2, r_v^2); distant lights
+        are distance-independent.  A floor of 0.1% of the voxel max keeps
+        every light sampleable (unbiasedness)."""
+        g = int(self.spatial_resolution)
+        extent = np.maximum(whi - wlo, 1e-6)
+        centers = np.stack(
+            np.meshgrid(
+                *(wlo[k] + (np.arange(g) + 0.5) / g * extent[k] for k in range(3)),
+                indexing="ij",
+            ),
+            axis=-1,
+        ).reshape(-1, 3)  # [V,3] with x fastest? ij -> dim order (x,y,z)
+        n_l = len(self._lights)
+        w = np.zeros((centers.shape[0], n_l), np.float32)
+        r_v2 = float(np.sum((0.5 * extent / g) ** 2))
+        for li, row in enumerate(self._lights):
+            inten = float(np.mean(row["intensity"]))
+            if row["type"] == LIGHT_DISTANT:
+                w[:, li] = inten
+                continue
+            if row["type"] == LIGHT_AREA:
+                # approximate emitter power: L * area (host-side)
+                pr = row["params"]
+                o2w = row["o2w"]
+                scale = float(np.linalg.norm(o2w[:3, 0]))
+                if row["shape"] == SHAPE_DISK:
+                    area = pr[3] * 0.5 * (pr[1] ** 2 - pr[2] ** 2) * scale * scale
+                else:
+                    area = 4.0 * math.pi * (pr[0] * scale) ** 2
+                inten = inten * float(area) * math.pi
+            else:
+                inten = inten * 4.0 * math.pi
+            d2 = np.sum((centers - np.asarray(row["p"])) ** 2, axis=-1)
+            w[:, li] = inten / np.maximum(d2, r_v2)
+        # per-voxel floor so no light has zero probability anywhere
+        w = np.maximum(w, 1e-3 * w.max(axis=-1, keepdims=True))
+        func, cdf, func_int = sampling.distribution_1d(jnp.asarray(w))
+        return LightGrid(
+            lo=jnp.asarray(wlo, jnp.float32),
+            inv_extent=jnp.asarray(1.0 / extent, jnp.float32),
+            dims=jnp.asarray([g, g, g], jnp.int32),
+            func=func,
+            cdf=cdf,
+            func_int=func_int,
+        )
 
 
 def _rgb(v) -> tuple:

@@ -309,6 +309,125 @@ def le_emitted(lights: Lights, prims_area_light_id, prim_idx, n, wo):
     return jnp.where(is_emitter[..., None], out, 0.0), lid
 
 
+class LeSample(NamedTuple):
+    """An emitted ray sampled from a light (Light.SampleLe)."""
+
+    o: jnp.ndarray  # f32[N,3] ray origin on/at the light
+    d: jnp.ndarray  # f32[N,3] emission direction
+    n_light: jnp.ndarray  # f32[N,3] light normal at origin (d for deltas)
+    le: jnp.ndarray  # f32[N,3] emitted radiance / intensity
+    pdf_pos: jnp.ndarray  # f32[N] area pdf of the origin
+    pdf_dir: jnp.ndarray  # f32[N] solid-angle pdf of the direction
+
+
+def sample_le(
+    lights: Lights, idx, u1, u2, world_center, world_radius
+) -> LeSample:
+    """Sample an emitted ray from light ``idx`` — Light.SampleLe for Point
+    (uniform sphere, point.go:63-66), Distant (disk outside the world,
+    distant.go:58-68), DiffuseArea (shape sample + cosine hemisphere,
+    diffuse.go:65-92).  Feeds light tracing / photon-style algorithms and
+    the adjoint tests; u1 picks the position, u2 the direction.
+    """
+    from gopbrt_tpu.ops.intersect import gather_rows
+
+    lt = lights.light_type[idx]
+    lp = gather_rows(lights.p, idx)
+    intensity = gather_rows(lights.intensity, idx)
+    two_sided = lights.two_sided[idx]
+    o2w = gather_rows(lights.o2w, idx)
+    params = gather_rows(lights.params, idx)
+    shape_kind = lights.shape_kind[idx]
+
+    # --- point: origin at p, uniform-sphere direction
+    d_pt = uniform_sample_sphere(u2)
+    o_pt = jnp.broadcast_to(lp, d_pt.shape)
+    pdf_pos_pt = jnp.ones(d_pt.shape[:-1], jnp.float32)
+    pdf_dir_pt = jnp.full(d_pt.shape[:-1], 1.0 / (4.0 * PI), jnp.float32)
+
+    # --- distant: concentric disk on the world-bounding sphere, shooting
+    # along -w_light (lp points *toward* the light)
+    w = normalize(lp, eps=1e-20)
+    v1, v2 = geom.coordinate_system(w)
+    cd = concentric_sample_disk(u1)
+    p_disk = (
+        world_center
+        + world_radius * (cd[..., 0:1] * v1 + cd[..., 1:2] * v2)
+    )
+    o_di = p_disk + world_radius * w
+    d_di = -w
+    pdf_pos_di = 1.0 / (PI * world_radius * world_radius)
+    pdf_pos_di = jnp.broadcast_to(pdf_pos_di, pdf_pos_pt.shape)
+    pdf_dir_di = jnp.ones_like(pdf_pos_pt)
+
+    # --- area: shape point (uniform by area) + cosine hemisphere about n
+    # sphere surface point
+    center, radius = _area_sphere_geom(o2w, params)
+    n_sph = uniform_sample_sphere(u1)
+    p_sph = center + radius[..., None] * n_sph
+    area_sph = 4.0 * PI * radius * radius
+    # disk surface point
+    height, radius_d = params[..., 0], params[..., 1]
+    inner, phi_max = params[..., 2], params[..., 3]
+    pd = concentric_sample_disk(u1) * radius_d[..., None]
+    p_obj = jnp.stack([pd[..., 0], pd[..., 1], height], axis=-1)
+    p_dsk = geom.apply_point_affine(o2w, p_obj)
+    w2o = geom_inverse_cached(o2w)
+    n_dsk = normalize(
+        geom.apply_normal(
+            w2o,
+            jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), p_obj.shape),
+        ),
+        eps=1e-20,
+    )
+    scale = length(o2w[..., :3, 0])
+    area_dsk = phi_max * 0.5 * (radius_d * radius_d - inner * inner) * scale * scale
+
+    is_disk = shape_kind == SHAPE_DISK
+    p_ar = jnp.where(is_disk[..., None], p_dsk, p_sph)
+    n_ar = jnp.where(is_disk[..., None], n_dsk, n_sph)
+    area = jnp.where(is_disk, area_dsk, area_sph)
+    # cosine hemisphere about n (diffuse.go:72-88); two-sided flips by u2.x
+    u2x = u2[..., 0]
+    flip = two_sided & (u2x > 0.5)
+    u2_remap = jnp.stack(
+        [
+            jnp.where(two_sided, jnp.minimum(
+                jnp.where(flip, 2.0 * (u2x - 0.5), 2.0 * u2x), 0.99999994
+            ), u2x),
+            u2[..., 1],
+        ],
+        axis=-1,
+    )
+    from gopbrt_tpu.ops.sampling import cosine_sample_hemisphere
+
+    w_local = cosine_sample_hemisphere(u2_remap)
+    n_eff = jnp.where(flip[..., None], -n_ar, n_ar)
+    t1, t2 = geom.coordinate_system(n_eff)
+    d_ar = (
+        t1 * w_local[..., 0:1] + t2 * w_local[..., 1:2] + n_eff * w_local[..., 2:3]
+    )
+    pdf_pos_ar = 1.0 / jnp.maximum(area, 1e-20)
+    cos_d = jnp.abs(w_local[..., 2])
+    pdf_dir_ar = cos_d / PI * jnp.where(two_sided, 0.5, 1.0)
+
+    is_pt = lt == LIGHT_POINT
+    is_di = lt == LIGHT_DISTANT
+    o = jnp.where(is_pt[..., None], o_pt, jnp.where(is_di[..., None], o_di, p_ar))
+    d = jnp.where(is_pt[..., None], d_pt, jnp.where(is_di[..., None], d_di, d_ar))
+    n_l = jnp.where(is_pt[..., None] | is_di[..., None], d, n_eff)
+    pdf_pos = jnp.where(
+        is_pt, pdf_pos_pt, jnp.where(is_di, pdf_pos_di, pdf_pos_ar)
+    )
+    pdf_dir = jnp.where(
+        is_pt, pdf_dir_pt, jnp.where(is_di, pdf_dir_di, pdf_dir_ar)
+    )
+    le = jnp.broadcast_to(intensity, o.shape)
+    # offset area-light origins off the surface along the emission side
+    o = jnp.where((is_pt | is_di)[..., None], o, o + n_eff * 1e-4)
+    return LeSample(o=o, d=d, n_light=n_l, le=le, pdf_pos=pdf_pos, pdf_dir=pdf_dir)
+
+
 def power(lights: Lights, world_radius) -> jnp.ndarray:
     """Scalar power per light for the power distribution
     (lightdistribution.go:46-68, with its append bug fixed; point.go:51-53).

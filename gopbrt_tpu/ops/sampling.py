@@ -143,6 +143,34 @@ def sample_discrete(func, cdf, func_int, u):
     return idx, pmf
 
 
+def sample_discrete_rows(func_rows, cdf_rows, int_rows, u):
+    """Per-lane discrete sampling from *row-wise* distributions: lane i
+    samples from (func_rows[i], cdf_rows[i]).  Powers the spatial light
+    distribution (the reference declares LightStrategy Spatial but returns
+    nil, lightdistribution.go:11-19 — implemented here).  Vectorised
+    comparison-count replaces searchsorted (L is small)."""
+    n = func_rows.shape[-1]
+    idx = jnp.clip(
+        jnp.sum((cdf_rows <= u[..., None]).astype(jnp.int32), axis=-1) - 1,
+        0,
+        n - 1,
+    )
+    f = jnp.take_along_axis(func_rows, idx[..., None], axis=-1)[..., 0]
+    pmf = jnp.where(
+        int_rows > 0.0, f / (jnp.maximum(int_rows, 1e-30) * n), 1.0 / n
+    )
+    return idx, pmf
+
+
+def pmf_rows(func_rows, int_rows, idx):
+    """pmf that sample_discrete_rows would return index ``idx`` per lane."""
+    n = func_rows.shape[-1]
+    f = jnp.take_along_axis(func_rows, idx[..., None], axis=-1)[..., 0]
+    return jnp.where(
+        int_rows > 0.0, f / (jnp.maximum(int_rows, 1e-30) * n), 1.0 / n
+    )
+
+
 def sample_continuous(func, cdf, func_int, u):
     """Sample x in [0,1) ~ func; returns (x, pdf, index)."""
     n = func.shape[-1]
