@@ -451,6 +451,8 @@ class SceneBuilder:
             rows = [dict(type=LIGHT_POINT, p=(0, 0, 0), intensity=(0, 0, 0),
                          two_sided=False, prim=-1, shape=SHAPE_SPHERE,
                          o2w=np.eye(4, dtype=np.float32), params=np.zeros(9, np.float32))]
+        o2w = np.stack([r["o2w"] for r in rows])
+        w2o = np.linalg.inv(o2w.astype(np.float64)).astype(np.float32)
         return Lights(
             light_type=jnp.asarray([r["type"] for r in rows], jnp.int32),
             p=jnp.asarray([r["p"] for r in rows], jnp.float32),
@@ -458,7 +460,8 @@ class SceneBuilder:
             two_sided=jnp.asarray([r["two_sided"] for r in rows], bool),
             prim_idx=jnp.asarray([r["prim"] for r in rows], jnp.int32),
             shape_kind=jnp.asarray([r["shape"] for r in rows], jnp.int32),
-            o2w=jnp.asarray(np.stack([r["o2w"] for r in rows])),
+            o2w=jnp.asarray(o2w),
+            w2o=jnp.asarray(w2o),
             params=jnp.asarray(np.stack([r["params"] for r in rows])),
         )
 

@@ -57,6 +57,9 @@ class Lights(NamedTuple):
     prim_idx: jnp.ndarray  # int32[L]
     shape_kind: jnp.ndarray  # int32[L]
     o2w: jnp.ndarray  # f32[L,4,4]
+    w2o: jnp.ndarray  # f32[L,4,4] precomputed inverse (NEVER invert per-lane
+    #   at render time: batched linalg.inv over the wavefront is ~100x the
+    #   cost of the whole shading pass on TPU)
     params: jnp.ndarray  # f32[L,9]
 
     @property
@@ -133,7 +136,7 @@ def _sample_sphere_li(o2w, params, ref_p, u2):
     return wi, p_l, n_l, pdf, dist
 
 
-def _sample_disk_li(o2w, params, ref_p, u2):
+def _sample_disk_li(o2w, w2o, params, ref_p, u2):
     """Area-sample a disk emitter (disk.go:160-170 Sample) + solid-angle
     conversion (shape.go:49-64 SampleAtInteraction semantics)."""
     height, radius = params[..., 0], params[..., 1]
@@ -142,7 +145,7 @@ def _sample_disk_li(o2w, params, ref_p, u2):
     p_l = geom.apply_point_affine(o2w, p_obj)
     # normal: +z transformed (ignoring reverse orientation at light level)
     n_l = normalize(
-        geom.apply_normal(geom_inverse_cached(o2w), jnp.broadcast_to(
+        geom.apply_normal(w2o, jnp.broadcast_to(
             jnp.asarray([0.0, 0.0, 1.0], jnp.float32), p_obj.shape)),
         eps=1e-20,
     )
@@ -157,12 +160,6 @@ def _sample_disk_li(o2w, params, ref_p, u2):
     pdf = d2 / jnp.maximum(cos_l * area, 1e-12)
     pdf = jnp.where(cos_l < 1e-7, 0.0, pdf)
     return wi, p_l, n_l, pdf, jnp.sqrt(d2)
-
-
-def geom_inverse_cached(m):
-    # small 4x4 inverses at sampling time are rare (disk lights only);
-    # affine inverse: R^-1 = R^T / scale handling via linalg for generality.
-    return jnp.linalg.inv(m)
 
 
 def sample_li(
@@ -180,6 +177,7 @@ def sample_li(
     intensity = gather_rows(lights.intensity, idx)
     two_sided = lights.two_sided[idx]
     o2w = gather_rows(lights.o2w, idx)
+    w2o = gather_rows(lights.w2o, idx)
     params = gather_rows(lights.params, idx)
     shape_kind = lights.shape_kind[idx]
 
@@ -197,7 +195,7 @@ def sample_li(
 
     # area light
     wi_s, pl_s, nl_s, pdf_s, dist_s = _sample_sphere_li(o2w, params, ref_p, u2)
-    wi_d, pl_d, nl_d, pdf_d, dist_d = _sample_disk_li(o2w, params, ref_p, u2)
+    wi_d, pl_d, nl_d, pdf_d, dist_d = _sample_disk_li(o2w, w2o, params, ref_p, u2)
     is_disk = (shape_kind == SHAPE_DISK)
     wi_ar = jnp.where(is_disk[..., None], wi_d, wi_s)
     pl_ar = jnp.where(is_disk[..., None], pl_d, pl_s)
@@ -240,6 +238,7 @@ def pdf_li(lights: Lights, idx, ref_p, wi) -> jnp.ndarray:
 
     lt = lights.light_type[idx]
     o2w = gather_rows(lights.o2w, idx)
+    w2o = gather_rows(lights.w2o, idx)
     params = gather_rows(lights.params, idx)
     shape_kind = lights.shape_kind[idx]
 
@@ -261,7 +260,6 @@ def pdf_li(lights: Lights, idx, ref_p, wi) -> jnp.ndarray:
     pdf_sphere = jnp.where(outside, pdf_sphere, 1.0 / (4.0 * PI))
 
     # disk emitter: intersect the disk plane along wi, convert area pdf
-    w2o = geom_inverse_cached(o2w)
     oo = geom.apply_point_affine(w2o, ref_p)
     od = geom.apply_vector(w2o, wi)
     height, radius_d, inner, phi_max = (
@@ -336,6 +334,7 @@ def sample_le(
     intensity = gather_rows(lights.intensity, idx)
     two_sided = lights.two_sided[idx]
     o2w = gather_rows(lights.o2w, idx)
+    w2o = gather_rows(lights.w2o, idx)
     params = gather_rows(lights.params, idx)
     shape_kind = lights.shape_kind[idx]
 
@@ -372,7 +371,6 @@ def sample_le(
     pd = concentric_sample_disk(u1) * radius_d[..., None]
     p_obj = jnp.stack([pd[..., 0], pd[..., 1], height], axis=-1)
     p_dsk = geom.apply_point_affine(o2w, p_obj)
-    w2o = geom_inverse_cached(o2w)
     n_dsk = normalize(
         geom.apply_normal(
             w2o,
