@@ -39,7 +39,7 @@ from gopbrt_tpu.models.scene import Scene
 # dims 0-4 are consumed by the camera (pixel jitter x2, lens x2, time);
 # each bounce consumes a fixed stride of dimensions.
 DIM_CAMERA = 0
-DIMS_PER_BOUNCE = 8
+DIMS_PER_BOUNCE = 12
 DIM_BOUNCE_BASE = 5
 # within a bounce:
 D_LIGHT_PICK = 0
@@ -47,6 +47,7 @@ D_LIGHT_UV = 1  # +2
 D_BSDF_UV = 3  # +2
 D_BSDF_LOBE = 5
 D_RR = 6
+D_SSS = 7  # +4: entry Fresnel, probe axis, channel+radius, azimuth
 
 
 class PathConfig(NamedTuple):
@@ -218,6 +219,98 @@ def _material_at(scene: Scene, si: isect.SurfaceInteraction) -> bsdf_ops.Materia
         eta=rows[..., 10],
         roughness=rows[..., 11],
     )
+
+
+def _where_si(mask, a: isect.SurfaceInteraction, b: isect.SurfaceInteraction):
+    """Lane-select between two SurfaceInteraction pytrees."""
+
+    def w(x, y):
+        m = mask
+        while m.ndim < x.ndim:
+            m = m[..., None]
+        return jnp.where(m, x, y)
+
+    return isect.SurfaceInteraction(*(w(x, y) for x, y in zip(a, b)))
+
+
+def _subsurface_transport(
+    scene: Scene, si, mp, beta, alive, seed, pixel, sample, dim_base
+):
+    """BSSRDF transport at subsurface entry hits — the working version of
+    the reference's dead hook (path.go:120-141): S = (1-Fr(θo))·Sp·Sw.
+
+    Wavefront scheme (PBRT v3 SeparableBSSRDF::Sample_S re-expressed
+    branch-free):
+      1. entry Fresnel: with prob Fr the lane becomes a mirror vertex
+         (choice prob cancels the Fresnel weight); with prob 1-Fr it
+         transmits (cancelling S's (1-Fr(θo)) factor),
+      2. probe: sample axis (ns/ss/ts at .5/.25/.25), color channel, Burley
+         radius and azimuth; intersect the probe chord against the scene,
+      3. accept exits on the same material; beta *= Sp(r)/pdf_Sp (axis- and
+         channel-MIS pdf); the lane's interaction is *spliced* to the exit
+         point whose BSDF is the Sw lobe (ops/bsdf.SUBSURFACE),
+      4. failed probes die (small documented energy loss instead of
+         resampling — keeps the loop single-pass).
+
+    Returns (si, mp, beta, alive) with subsurface lanes rewritten.
+    """
+    from gopbrt_tpu.ops import bssrdf as sss_ops
+
+    sss = alive & (mp.mat_type == bsdf_ops.SUBSURFACE)
+
+    u_fr = rng.sample_1d(seed, pixel, sample, dim_base + D_SSS)
+    fr = bsdf_ops.fr_dielectric(dot(si.wo, si.ns), 1.0, mp.eta)
+    reflect = sss & (u_fr < fr)
+    transmit = sss & ~reflect
+    # reflect lanes: Fresnel-weighted delta reflection == unit mirror after
+    # the choice-probability cancellation
+    mp = mp._replace(
+        mat_type=jnp.where(reflect, bsdf_ops.MIRROR, mp.mat_type),
+        kr=jnp.where(reflect[..., None], 1.0, mp.kr),
+    )
+
+    # probe disk sample in the entry frame
+    ss_f, ts_f, ns_f = _shading_frame(si)
+    u_axis = rng.sample_1d(seed, pixel, sample, dim_base + D_SSS + 1)
+    u_chr = rng.sample_1d(seed, pixel, sample, dim_base + D_SSS + 2)
+    u_phi = rng.sample_1d(seed, pixel, sample, dim_base + D_SSS + 3)
+    vx, vy, vz, _ = sss_ops.sample_axis_frame(u_axis, ss_f, ts_f, ns_f)
+    ch = jnp.minimum((u_chr * 3.0).astype(jnp.int32), 2)
+    u_r = u_chr * 3.0 - ch.astype(jnp.float32)
+
+    mid = scene.prims.material_id[si.prim_idx]
+    d_rgb = isect.gather_rows(scene.materials.sss_d, mid)  # [N,3]
+    d_ch = jnp.take_along_axis(d_rgb, ch[..., None], axis=-1)[..., 0]
+    r = sss_ops.burley_sample_r(u_r, d_ch)
+    r_max = sss_ops.burley_sample_r(jnp.full_like(u_r, 0.999), d_ch)
+    ok_r = r < r_max
+    chord = 2.0 * jnp.sqrt(jnp.maximum(r_max * r_max - r * r, 1e-12))
+    phi = 2.0 * geom.PI * u_phi
+    base = si.p + r[..., None] * (
+        jnp.cos(phi)[..., None] * vx + jnp.sin(phi)[..., None] * vy
+    )
+    p0 = base + (0.5 * chord)[..., None] * vz
+    probe_d = -vz
+    # dead lanes carry a zero-length probe (cheap in lockstep traversal)
+    t_probe = jnp.where(transmit & ok_r, chord, 1e-5)
+    hit_p, t_p, prim_p = _scene_intersect(scene, p0, probe_d, t_probe)
+    t_p = jax.lax.stop_gradient(t_p)
+    prim_p = jax.lax.stop_gradient(prim_p)
+    same_mat = scene.prims.material_id[prim_p] == mid
+    ok = transmit & ok_r & hit_p & same_mat
+    si_exit = isect.surface_interaction(scene.prims, ok, t_p, prim_p, p0, probe_d)
+    # the exit lobe Sw lives on the outward hemisphere: orient the frame by
+    # the geometric normal and make wo degenerate-safe (+n)
+    si_exit = si_exit._replace(ns=si_exit.n, wo=si_exit.n)
+
+    # Sp(actual r) / pdf_Sp, channel-averaged profile with axis/channel MIS
+    r_act = jnp.sqrt(geom.length_sq(si_exit.p - si.p))
+    pdf = sss_ops.pdf_sp(si.p, ss_f, ts_f, ns_f, si_exit.p, si_exit.n, d_rgb)
+    w_sp = sss_ops.sp(mp.kd, r_act, d_rgb) / jnp.maximum(pdf, 1e-12)[..., None]
+    beta = jnp.where(ok[..., None], beta * w_sp, beta)
+    alive = alive & ~(transmit & ~ok)
+    si = _where_si(ok, si_exit, si)
+    return si, mp, beta, alive
 
 
 def _shading_frame(si: isect.SurfaceInteraction):
@@ -396,10 +489,17 @@ def li(
 
         si = _apply_bump(scene, si, scene.prims.material_id[si.prim_idx])
         mp = _material_at(scene, si)
+        beta0 = st.beta
+        if scene.materials.sss_d is not None:
+            # BSSRDF transport (compiled out for scenes without subsurface
+            # materials): may splice si to the exit point and scale beta
+            si, mp, beta0, alive = _subsurface_transport(
+                scene, si, mp, beta0, alive, seed, pixel, sample, dim_base
+            )
         ss, ts, ns = _shading_frame(si)
 
         if cfg.nee:
-            L = L + st.beta * _estimate_direct(
+            L = L + beta0 * _estimate_direct(
                 scene, si, mp, ss, ts, ns, alive, seed, pixel, sample, dim_base
             )
 
@@ -412,7 +512,7 @@ def li(
         wi_w = jax.lax.stop_gradient(wi_w)  # detached sampling
         cos_term = geom.absdot(wi_w, ns)
         ok = (bs.pdf > 1e-9) & (jnp.max(jnp.abs(bs.f), axis=-1) > 0.0)
-        beta = st.beta * jnp.where(
+        beta = beta0 * jnp.where(
             ok[..., None],
             bs.f * (cos_term / jnp.maximum(jax.lax.stop_gradient(bs.pdf), 1e-20))[..., None],
             0.0,
@@ -499,8 +599,13 @@ def li_direct(
         alive = st.alive & hit
         si = _apply_bump(scene, si, scene.prims.material_id[si.prim_idx])
         mp = _material_at(scene, si)
+        beta0 = st.beta
+        if scene.materials.sss_d is not None:
+            si, mp, beta0, alive = _subsurface_transport(
+                scene, si, mp, beta0, alive, seed, pixel, sample, dim_base
+            )
         ss, ts, ns = _shading_frame(si)
-        L = L + st.beta * _estimate_direct(
+        L = L + beta0 * _estimate_direct(
             scene, si, mp, ss, ts, ns, alive, seed, pixel, sample, dim_base
         )
         # specular continuation only (directlighting.go:97-101)
@@ -511,7 +616,7 @@ def li_direct(
         wi_w = _to_world(ss, ts, ns, bs.wi)
         cos_term = geom.absdot(wi_w, ns)
         ok = bs.is_specular & (bs.pdf > 1e-9)
-        beta = st.beta * jnp.where(
+        beta = beta0 * jnp.where(
             ok[..., None], bs.f * (cos_term / jnp.maximum(bs.pdf, 1e-20))[..., None], 0.0
         )
         return PathState(

@@ -39,7 +39,7 @@ from gopbrt_tpu.ops.texture import (
     MAP_UV,
     MAP_PLANAR,
 )
-from gopbrt_tpu.ops.bsdf import MATTE, MIRROR, GLASS, PLASTIC, METAL
+from gopbrt_tpu.ops.bsdf import MATTE, MIRROR, GLASS, PLASTIC, METAL, SUBSURFACE
 
 
 class Materials(NamedTuple):
@@ -58,6 +58,12 @@ class Materials(NamedTuple):
     # shading normal.  None when no material uses bump (skips the cost).
     bump_tex: Optional[jnp.ndarray] = None  # int32[M], -1 = none
     bump_scale: Optional[jnp.ndarray] = None  # f32[M]
+    # subsurface scattering (Burley separable BSSRDF, ops/bssrdf.py —
+    # the working version of the reference's dead BSSRDF hook,
+    # bssrdf.go:3-12 / path.go:120-141): per-channel diffusion radius
+    # d = mfp / s(ρ).  None when no material is subsurface — the probe
+    # transport then compiles out of the integrator entirely.
+    sss_d: Optional[jnp.ndarray] = None  # f32[M,3]
 
 
 class LightGrid(NamedTuple):
@@ -173,7 +179,7 @@ class SceneBuilder:
         row = dict(
             mat_type=MATTE, kd=(0.5, 0.5, 0.5), kd_tex=-1, sigma=0.0,
             kr=(1.0, 1.0, 1.0), kt=(1.0, 1.0, 1.0), eta=1.5, roughness=0.0,
-            bump_tex=-1, bump_scale=1.0,
+            bump_tex=-1, bump_scale=1.0, sss_d=(0.0, 0.0, 0.0),
         )
         row.update(kw)
         self._materials.append(row)
@@ -211,6 +217,22 @@ class SceneBuilder:
         alpha = _remap(roughness) if remap_roughness else roughness
         return self._add_material(
             mat_type=METAL, kr=_rgb(f0), roughness=max(alpha, 1e-3)
+        )
+
+    def subsurface(self, rho=(0.8, 0.5, 0.3), mfp=(0.2, 0.2, 0.2), eta=1.33) -> int:
+        """Subsurface-scattering material: Burley separable BSSRDF with
+        diffuse albedo rho, per-channel mean free path mfp (world units),
+        and interface IOR eta.  The reference declares BSSRDF but never
+        implements or wires it (bssrdf.go:3-12, path.go:120-141); here the
+        full probe-ray transport runs (ops/bssrdf.py)."""
+        rho_t = _rgb(rho)
+        mfp_t = _rgb(mfp)
+        d = tuple(
+            max(m, 1e-5) / (1.9 - a + 3.5 * (a - 0.8) ** 2)
+            for a, m in zip(rho_t, mfp_t)
+        )
+        return self._add_material(
+            mat_type=SUBSURFACE, kd=rho_t, eta=eta, sss_d=d
         )
 
     # --- primitives -------------------------------------------------------
@@ -377,6 +399,11 @@ class SceneBuilder:
             bump_scale=(
                 jnp.asarray([m["bump_scale"] for m in self._materials], jnp.float32)
                 if any(m["bump_tex"] >= 0 for m in self._materials)
+                else None
+            ),
+            sss_d=(
+                jnp.asarray([m["sss_d"] for m in self._materials], jnp.float32)
+                if any(m["mat_type"] == SUBSURFACE for m in self._materials)
                 else None
             ),
         )

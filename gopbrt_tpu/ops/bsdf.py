@@ -38,6 +38,13 @@ MIRROR = 1
 GLASS = 2
 PLASTIC = 3
 METAL = 4
+# Subsurface (Burley separable BSSRDF, ops/bssrdf.py).  At an *entry* hit the
+# integrator handles the Fresnel interface + probe transport; lanes that
+# reach the BSDF dispatch with this tag sit at the BSSRDF *exit* point, where
+# the lobe is the directional term Sw(w) = (1-Fr(η,cosθ))/(c̄π) — the working
+# version of the reference's never-assigned SurfaceInteraction.BSSRDF hook
+# (pkg/pbrt/bssrdf.go:3-12, pkg/integrator/path.go:120-141).
+SUBSURFACE = 5
 
 
 class MaterialParams(NamedTuple):
@@ -341,6 +348,16 @@ def _metal_f(mp: MaterialParams, wo, wi):
     return jnp.where(same_hemisphere(wo, wi)[..., None], f, 0.0)
 
 
+def _sss_exit_f(mp: MaterialParams, wo, wi):
+    """BSSRDF exit lobe Sw (see SUBSURFACE tag): isotropic in azimuth,
+    Fresnel-shaped in θ; lives on the outward (+z here: the integrator sets
+    wo = +ns at the exit) hemisphere."""
+    from gopbrt_tpu.ops.bssrdf import sw
+
+    f = sw(mp.eta, cos_theta(wi))[..., None] * jnp.ones_like(mp.kd)
+    return jnp.where(same_hemisphere(wo, wi)[..., None], f, 0.0)
+
+
 def bsdf_f(mp: MaterialParams, wo, wi):
     """Evaluate non-delta f(wo, wi) (BSDF.F, reflection.go:169-186).
 
@@ -358,7 +375,15 @@ def bsdf_f(mp: MaterialParams, wo, wi):
             jnp.where(
                 (mp.mat_type == PLASTIC)[..., None],
                 _plastic_f(mp, wo, wi),
-                jnp.where((mp.mat_type == METAL)[..., None], _metal_f(mp, wo, wi), 0.0),
+                jnp.where(
+                    (mp.mat_type == METAL)[..., None],
+                    _metal_f(mp, wo, wi),
+                    jnp.where(
+                        (mp.mat_type == SUBSURFACE)[..., None],
+                        _sss_exit_f(mp, wo, wi),
+                        0.0,
+                    ),
+                ),
             ),
         ),
     )
@@ -399,7 +424,12 @@ def bsdf_pdf(mp: MaterialParams, wo, wi):
             jnp.where(
                 mp.mat_type == PLASTIC,
                 plastic_pdf,
-                jnp.where(mp.mat_type == METAL, metal_pdf, 0.0),
+                jnp.where(
+                    mp.mat_type == METAL,
+                    metal_pdf,
+                    # BSSRDF exit lobe: cosine-sampled (see bsdf_sample)
+                    jnp.where(mp.mat_type == SUBSURFACE, matte_pdf, 0.0),
+                ),
             ),
         ),
     )
@@ -491,10 +521,14 @@ def bsdf_sample(mp: MaterialParams, wo, u2, uc) -> BsdfSample:
         mp._replace(mat_type=jnp.full_like(mp.mat_type, METAL)), wo, wi_metal
     )
 
+    # --- subsurface exit lobe: cosine-sampled Sw (entry transport handled
+    # by the integrator's _subsurface_transport before BSDF dispatch)
+    f_sss = _sss_exit_f(mp, wo, wi_matte)
+
     rough_glass = (mp.mat_type == GLASS) & (mp.roughness > 1e-4)
     smooth_glass = (mp.mat_type == GLASS) & ~rough_glass
 
-    def pick(matte_v, mirror_v, sglass_v, rglass_v, plastic_v, metal_v):
+    def pick(matte_v, mirror_v, sglass_v, rglass_v, plastic_v, metal_v, sss_v):
         def bc(m, v):
             while m.ndim < v.ndim:
                 m = m[..., None]
@@ -505,11 +539,14 @@ def bsdf_sample(mp: MaterialParams, wo, u2, uc) -> BsdfSample:
             bc(t == MIRROR, mirror_v), mirror_v, jnp.where(
                 bc(smooth_glass, sglass_v), sglass_v, jnp.where(
                     bc(rough_glass, rglass_v), rglass_v, jnp.where(
-                        bc(t == PLASTIC, plastic_v), plastic_v, metal_v)))))
+                        bc(t == PLASTIC, plastic_v), plastic_v, jnp.where(
+                            bc(t == METAL, metal_v), metal_v, sss_v))))))
 
-    wi = pick(wi_matte, wi_mirror, wi_glass, wi_rough, wi_plastic, wi_metal)
-    f = pick(f_matte, f_mirror, f_glass, f_rough, f_plastic, f_metal)
-    pdf = pick(pdf_matte, one, pdf_glass, pdf_rough, pdf_plastic, pdf_metal)
+    wi = pick(wi_matte, wi_mirror, wi_glass, wi_rough, wi_plastic, wi_metal,
+              wi_matte)
+    f = pick(f_matte, f_mirror, f_glass, f_rough, f_plastic, f_metal, f_sss)
+    pdf = pick(pdf_matte, one, pdf_glass, pdf_rough, pdf_plastic, pdf_metal,
+               pdf_matte)
     is_specular = (mp.mat_type == MIRROR) | smooth_glass
     is_transmission = jnp.where(
         smooth_glass, glass_transmit, jnp.where(rough_glass, rough_transmit, False)

@@ -1,0 +1,164 @@
+"""Separable BSSRDF (subsurface scattering) over SoA wavefronts.
+
+The reference declares a ``BSSRDF`` interface and a path-integrator hook
+that never fires (``pkg/pbrt/bssrdf.go:3-12``, ``pkg/integrator/
+path.go:120-141`` — ``SurfaceInteraction.BSSRDF`` is never assigned).  Here
+the capability is *implemented*: a separable BSSRDF
+
+    S(po, wo, pi, wi) = (1 - Fr(cos θo)) · Sp(po, pi) · Sw(wi)
+
+with the Burley / Christensen normalized-diffusion radial profile
+
+    Sp(r) = ρ · (e^{-r/d} + e^{-r/(3d)}) / (8 π d r)        (per channel)
+
+which integrates to ρ over the plane and admits analytic CDF sampling.
+The exit point is found by a probe ray through the sampled disk point —
+PBRT v3's SeparableBSSRDF::Sample_Sp scheme (axis choice n/ss/ts with
+probabilities .5/.25/.25, per-channel radius MIS), re-expressed branch-free
+over the whole wavefront: every lane computes the probe; dead lanes carry a
+zero-length ray.  TPU notes: the probe is one extra batched scene intersect
+per bounce, statically compiled out when the scene has no subsurface
+material (``Materials.sss_d is None``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gopbrt_tpu.ops.geom import PI, INV_PI, dot, normalize
+
+# axis-choice probabilities (PBRT SeparableBSSRDF::Sample_Sp)
+AXIS_PROB = (0.5, 0.25, 0.25)  # ns, ss, ts
+
+
+_MOMENT_QUAD_N = 64
+
+
+def fresnel_moment1(eta):
+    """First Fresnel moment 2∫₀¹ Fr(η, μ) μ dμ — the cosine-weighted
+    average reflectance of the dielectric interface seen from outside.
+
+    PBRT uses a polynomial fit of the *internal* diffuse moments here
+    (FresnelMoment1); we instead evaluate the exact integral with a fixed
+    midpoint quadrature (vectorised, 64 Fresnel evaluations — negligible
+    next to a scene intersect), which makes the Sw lobe below integrate to
+    exactly 1 over the hemisphere (energy-correct exit normalization)."""
+    from gopbrt_tpu.ops.bsdf import fr_dielectric
+
+    eta = jnp.asarray(eta, jnp.float32)
+    mu = (jnp.arange(_MOMENT_QUAD_N, dtype=jnp.float32) + 0.5) / _MOMENT_QUAD_N
+    fr = fr_dielectric(mu, 1.0, eta[..., None])
+    return 2.0 * jnp.mean(fr * mu, axis=-1)
+
+
+def sw_normalization(eta):
+    """c̄ = 1 - moment1(η) (the moment already carries its factor 2):
+    with the exact moment, ∫ Sw cosθ dω = 1."""
+    return jnp.maximum(1.0 - fresnel_moment1(eta), 1e-4)
+
+
+def burley_scaling(rho):
+    """Christensen–Burley albedo remap s(ρ) ("Approximate Reflectance
+    Profiles for Efficient Subsurface Scattering", eq. for searchlight
+    config): d = ℓ/s turns a mean free path ℓ into the profile radius."""
+    rho = jnp.asarray(rho, jnp.float32)
+    return 1.9 - rho + 3.5 * (rho - 0.8) ** 2
+
+
+def burley_pdf_area(r, d):
+    """Unit-albedo profile R(r) = (e^{-r/d}+e^{-r/(3d)})/(8πdr): the pdf of
+    the sampled disk point in *area* measure (∫R·2πr dr = 1)."""
+    d = jnp.maximum(d, 1e-6)
+    rc = jnp.maximum(r, 1e-6 * d)  # integrable 1/r pole: clamp like PBRT
+    return (jnp.exp(-rc / d) + jnp.exp(-rc / (3.0 * d))) / (8.0 * PI * d * rc)
+
+
+def burley_cdf(r, d):
+    """CDF of the radial density p(r) = 2πr·R(r):
+    1 - e^{-r/d}/4 - 3·e^{-r/(3d)}/4."""
+    d = jnp.maximum(d, 1e-6)
+    return 1.0 - 0.25 * jnp.exp(-r / d) - 0.75 * jnp.exp(-r / (3.0 * d))
+
+
+def burley_sample_r(u, d, n_iter: int = 12):
+    """Invert the Burley CDF by Newton iteration (branch-free, converges
+    fast: the density is log-concave).  u in [0,1) → radius."""
+    d = jnp.maximum(d, 1e-6)
+    u = jnp.clip(u, 0.0, 0.9999)
+    r = d  # median-ish init
+    for _ in range(n_iter):
+        f = burley_cdf(r, d) - u
+        # radial pdf p(r) = (e^{-r/d} + e^{-r/(3d)}) / (4d)
+        p = (jnp.exp(-r / d) + jnp.exp(-r / (3.0 * d))) / (4.0 * d)
+        r = jnp.clip(r - f / jnp.maximum(p, 1e-12), 0.0, 60.0 * d)
+    return r
+
+
+def sample_axis_frame(u_axis, ss, ts, ns):
+    """Pick the probe projection axis (PBRT Sample_Sp): with prob .5 probe
+    along -ns (frame ss,ts,ns), .25 along -ss (frame ts,ns,ss), .25 along
+    -ts (frame ns,ss,ts).  Returns (vx, vy, vz, axis_id)."""
+    a0 = u_axis < AXIS_PROB[0]
+    a1 = (~a0) & (u_axis < AXIS_PROB[0] + AXIS_PROB[1])
+    axis = jnp.where(a0, 0, jnp.where(a1, 1, 2)).astype(jnp.int32)
+    m0 = a0[..., None]
+    m1 = a1[..., None]
+    vx = jnp.where(m0, ss, jnp.where(m1, ts, ns))
+    vy = jnp.where(m0, ts, jnp.where(m1, ns, ss))
+    vz = jnp.where(m0, ns, jnp.where(m1, ss, ts))
+    return vx, vy, vz, axis
+
+
+def pdf_sp(p_entry, ss, ts, ns, p_exit, n_exit, d_rgb):
+    """Combined pdf (area measure at the exit point) of the probe scheme:
+    MIS over the 3 projection axes and 3 color channels
+    (PBRT SeparableBSSRDF::Pdf_Sp).
+
+    d_rgb: f32[N,3] per-channel diffusion radii.
+    """
+    dvec = p_exit - p_entry
+    d_local = jnp.stack([dot(ss, dvec), dot(ts, dvec), dot(ns, dvec)], axis=-1)
+    n_local = jnp.stack(
+        [jnp.abs(dot(ss, n_exit)), jnp.abs(dot(ts, n_exit)), jnp.abs(dot(ns, n_exit))],
+        axis=-1,
+    )
+    # projected radius when probing along ns / ss / ts
+    r_proj = jnp.stack(
+        [
+            jnp.sqrt(d_local[..., 0] ** 2 + d_local[..., 1] ** 2),  # axis ns
+            jnp.sqrt(d_local[..., 1] ** 2 + d_local[..., 2] ** 2),  # axis ss
+            jnp.sqrt(d_local[..., 2] ** 2 + d_local[..., 0] ** 2),  # axis ts
+        ],
+        axis=-1,
+    )  # [N,3] per axis
+    # |n_exit · probe_dir| per axis: probing along ns uses n_local[ns]=idx2?
+    # frame for axis ns is (ss,ts,ns) -> vz=ns -> |n·ns| = n_local[2]; axis ss
+    # -> vz=ss -> n_local[0]; axis ts -> vz=ts -> n_local[1].
+    n_axis = jnp.stack(
+        [n_local[..., 2], n_local[..., 0], n_local[..., 1]], axis=-1
+    )
+    ch_prob = 1.0 / 3.0
+    pdf = jnp.zeros(r_proj.shape[:-1], jnp.float32)
+    for axis in range(3):
+        rp = r_proj[..., axis]
+        # per-channel radial pdf in area measure at projected radius
+        pr = burley_pdf_area(rp[..., None], d_rgb)  # [N,3]
+        pdf = pdf + AXIS_PROB[axis] * n_axis[..., axis] * ch_prob * jnp.sum(
+            pr, axis=-1
+        )
+    return pdf
+
+
+def sp(rho, r, d_rgb):
+    """Spatial term Sp(po,pi) = ρ·R(‖po−pi‖) per channel; rho f32[N,3]."""
+    return rho * burley_pdf_area(r[..., None], d_rgb)
+
+
+def sw(eta, cos_theta_i):
+    """Directional exit term Sw(w) = (1-Fr(η,cosθ)) / (c̄ π)
+    (PBRT SeparableBSSRDF::Sw); scalar per lane."""
+    from gopbrt_tpu.ops.bsdf import fr_dielectric
+
+    c_bar = sw_normalization(eta)
+    fr = fr_dielectric(cos_theta_i, 1.0, eta)
+    return (1.0 - fr) / jnp.maximum(c_bar * PI, 1e-6)

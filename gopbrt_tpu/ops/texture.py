@@ -109,10 +109,39 @@ def _image_lookup(tex: Textures, tex_id, s, t):
     )
 
 
-def eval_spectrum(tex: Textures, tex_id, p, uv):
+def _bump_int(x):
+    """∫₀ˣ (checker parity) closed form: floor(x/2) + 2·max(x/2 − floor(x/2)
+    − .5, 0) — the PBRT box-filtered checkerboard helper (the reference
+    declares the ClosedForm AA method but never implements it,
+    checkerboard.go:8-13,38-39)."""
+    h = x * 0.5
+    return jnp.floor(h) + 2.0 * jnp.maximum(h - jnp.floor(h) - 0.5, 0.0)
+
+
+def _checker_filtered(v1, v2, s, t, fw_s, fw_t):
+    """Box-filtered checkerboard over the (s,t) filter footprint: exact
+    fractional coverage of the two colours (PBRT's ClosedForm branch)."""
+    ds = jnp.maximum(fw_s, 1e-8)
+    dt = jnp.maximum(fw_t, 1e-8)
+    s0, s1 = s - ds, s + ds
+    t0, t1 = t - dt, t + dt
+    # fraction of [x0,x1] covered by odd checks along one axis
+    s_int = (_bump_int(s1) - _bump_int(s0)) / (2.0 * ds)
+    t_int = (_bump_int(t1) - _bump_int(t0)) / (2.0 * dt)
+    area2 = s_int + t_int - 2.0 * s_int * t_int  # odd-parity area fraction
+    area2 = jnp.clip(area2, 0.0, 1.0)
+    return v1 * (1.0 - area2)[..., None] + v2 * area2[..., None]
+
+
+def eval_spectrum(tex: Textures, tex_id, p, uv, fw=None):
     """Evaluate spectrum texture tex_id (batched, tex_id may vary per lane).
 
-    Checkerboard: floor(s)+floor(t) parity (checkerboard.go:30-40).
+    Checkerboard: floor(s)+floor(t) parity (checkerboard.go:30-40); when a
+    filter footprint ``fw`` (f32[N] width in world units, from the ray-cone
+    tracker replacing the reference's ray differentials,
+    camera.go:192-242 + interaction.go:225-297) is given, the box-filtered
+    closed form is used instead — the AA method the reference declares but
+    leaves unimplemented (checkerboard.go:8-13).
     tex_id < 0 returns value-less black (callers treat <0 as constant kd).
     """
     safe_id = jnp.maximum(tex_id, 0)
@@ -122,6 +151,20 @@ def eval_spectrum(tex: Textures, tex_id, p, uv):
     s, t = _st(tex, safe_id, p, uv)
     parity = (jnp.floor(s).astype(jnp.int32) + jnp.floor(t).astype(jnp.int32)) % 2
     checker = jnp.where((parity == 0)[..., None], v1, v2)
+    if fw is not None:
+        # world-space cone width -> (s,t) widths via the mapping scale:
+        # planar mapping is linear (|vs|, |vt| per world unit); uv mapping
+        # uses the same row vectors' [su, sv] scales against dpdu-free
+        # footprint (conservative: treat uv ≈ world here; exact duvdx needs
+        # dpdu projection, done by the caller when available)
+        vs = tex.vs[safe_id]
+        vt = tex.vt[safe_id]
+        scale_s = jnp.sqrt(jnp.sum(vs * vs, axis=-1))
+        scale_t = jnp.sqrt(jnp.sum(vt * vt, axis=-1))
+        checker_aa = _checker_filtered(
+            v1, v2, s, t, fw * scale_s, fw * scale_t
+        )
+        checker = checker_aa
     uv_dbg = jnp.stack([uv[..., 0] % 1.0, uv[..., 1] % 1.0, jnp.zeros_like(s)], axis=-1)
     img = _image_lookup(tex, safe_id, s, t)
     out = jnp.where(

@@ -1,0 +1,173 @@
+"""BSSRDF (subsurface scattering) tests: profile math + end-to-end transport.
+
+The reference has only a dead interface (bssrdf.go:3-12) and a hook that
+never fires (path.go:120-141); these tests cover the *working* Burley
+separable BSSRDF (ops/bssrdf.py + integrators._subsurface_transport).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gopbrt_tpu.ops import bssrdf
+
+
+class TestBurleyProfile:
+    def test_profile_normalizes_to_one(self):
+        # ∫ R(r) 2πr dr = 1 for the unit-albedo profile
+        for d in (0.05, 0.3, 1.7):
+            r = np.linspace(1e-5, 60 * d, 200001)
+            R = np.asarray(bssrdf.burley_pdf_area(jnp.asarray(r, jnp.float32), d))
+            integral = np.trapezoid(R * 2 * np.pi * r, r)
+            assert abs(integral - 1.0) < 2e-3, (d, integral)
+
+    def test_cdf_matches_density_integral(self):
+        d = 0.4
+        r = np.linspace(0, 5.0, 100001)
+        p = (np.exp(-r / d) + np.exp(-r / (3 * d))) / (4 * d)
+        cdf_num = np.cumsum(p) * (r[1] - r[0])
+        cdf_ana = np.asarray(bssrdf.burley_cdf(jnp.asarray(r, jnp.float32), d))
+        assert np.max(np.abs(cdf_num - cdf_ana)) < 2e-3
+
+    def test_sample_r_inverts_cdf(self):
+        d = jnp.float32(0.25)
+        u = jnp.linspace(0.01, 0.99, 64)
+        r = bssrdf.burley_sample_r(u, d)
+        u_back = bssrdf.burley_cdf(r, d)
+        np.testing.assert_allclose(np.asarray(u_back), np.asarray(u), atol=2e-4)
+        assert bool(jnp.all(jnp.diff(r) > 0))  # monotone
+
+    def test_fresnel_moment1_matches_numeric_integral(self):
+        from gopbrt_tpu.ops.bsdf import fr_dielectric
+
+        for eta in (1.33, 1.5, 1.0 / 1.33):
+            mu = np.linspace(0, 1, 20001)
+            fr = np.asarray(
+                fr_dielectric(jnp.asarray(mu, jnp.float32), 1.0, jnp.float32(eta))
+            )
+            numeric = 2.0 * np.trapezoid(fr * mu, mu)
+            quad = float(bssrdf.fresnel_moment1(jnp.float32(eta)))
+            assert abs(numeric - quad) < 0.01, (eta, numeric, quad)
+
+    def test_sw_hemispherical_transmission(self):
+        # ∫ Sw(w) cosθ dω over the hemisphere = 1 - 2*moment1(η)... with the
+        # c̄ normalization it equals exactly (1 - Fr) averaged properly:
+        # ∫ (1-Fr(cosθ))/(c̄π) cosθ dω = (1 - 2·moment1(η)) / c̄ = 1
+        eta = jnp.float32(1.33)
+        mu = np.linspace(0, 1, 40001)
+        sw = np.asarray(bssrdf.sw(eta, jnp.asarray(mu, jnp.float32)))
+        integral = 2 * np.pi * np.trapezoid(sw * mu, mu)
+        assert abs(integral - 1.0) < 5e-3, integral
+
+
+class TestPdfSp:
+    def test_pdf_sp_matches_radial_density_on_flat_plane(self):
+        # entry at origin on z=0 plane with frame = identity; exit on the
+        # same plane at radius r: probing along ns dominates, pdf should be
+        # the channel-averaged area density (axis ns prob 0.5 gets |n·ns|=1,
+        # other axes get |n·ss|=0)
+        n = 64
+        ss = jnp.tile(jnp.asarray([[1.0, 0, 0]], jnp.float32), (n, 1))
+        ts = jnp.tile(jnp.asarray([[0, 1.0, 0]], jnp.float32), (n, 1))
+        ns = jnp.tile(jnp.asarray([[0, 0, 1.0]], jnp.float32), (n, 1))
+        p0 = jnp.zeros((n, 3), jnp.float32)
+        r = jnp.linspace(0.01, 1.0, n)
+        p1 = jnp.stack([r, jnp.zeros_like(r), jnp.zeros_like(r)], axis=-1)
+        d = jnp.tile(jnp.asarray([[0.1, 0.2, 0.3]], jnp.float32), (n, 1))
+        pdf = bssrdf.pdf_sp(p0, ss, ts, ns, p1, ns, d)
+        expect = 0.5 * jnp.mean(bssrdf.burley_pdf_area(r[:, None], d), axis=-1)
+        # exits in-plane: the ss/ts axes see rProj = |dz..| contributions too,
+        # but their |n·axis| factor is zero → exact equality
+        np.testing.assert_allclose(np.asarray(pdf), np.asarray(expect), rtol=1e-5)
+
+
+
+def _camera(width, height, eye, look, fov):
+    from gopbrt_tpu.models import camera as cam_mod
+    from gopbrt_tpu.ops import geom
+
+    m = geom.look_at(list(eye), list(look), [0.0, 1.0, 0.0])
+    return cam_mod.perspective_camera(m, width, height, fov_deg=fov)
+
+def _sss_scene(mfp=0.3):
+    from gopbrt_tpu.models.scene import SceneBuilder
+    from gopbrt_tpu.ops import geom
+
+    b = SceneBuilder()
+    m = b.subsurface(rho=(0.9, 0.6, 0.3), mfp=(mfp,) * 3, eta=1.33)
+    b.sphere(geom.translate([0.0, 0.0, 1.0]), 1.0, m)
+    floor = b.matte(kd=(0.4, 0.4, 0.4))
+    b.disk(np.asarray(geom.rotate_x(90.0)), 20.0, floor)
+    b.point_light(p=(3.0, 4.0, 3.0), intensity=(60.0, 60.0, 60.0))
+    return b.build(accelerator="none")
+
+
+class TestSubsurfaceEndToEnd:
+    def test_render_finite_nonzero_and_tinted(self):
+        from gopbrt_tpu.models import render as render_mod
+        scene = _sss_scene()
+        settings = render_mod.RenderSettings(
+            width=48, height=48, spp=8, max_depth=4, integrator="path",
+            samples_per_pass=8, chunk_pixels=0,
+        )
+        camera = _camera(settings.width, settings.height, (0.0, 1.5, 4.5), (0.0, 0.8, 0.0), 45.0)
+        img = np.asarray(render_mod.render(scene, camera, settings))
+        assert np.all(np.isfinite(img))
+        assert img.max() > 0.02
+        # albedo (0.9, 0.6, 0.3): the subsurface sphere must look red-tinted.
+        # center crop covers the sphere
+        c = img[16:32, 16:32]
+        assert c[..., 0].mean() > c[..., 2].mean() * 1.2
+
+    def test_energy_conservation_upper_bound(self):
+        # total exitant radiance can't exceed what a white Lambertian sphere
+        # would return under the same light (sanity: the Sp/pdf weights and
+        # Sw normalization aren't blowing up)
+        from gopbrt_tpu.models import render as render_mod
+        from gopbrt_tpu.models.scene import SceneBuilder
+        from gopbrt_tpu.ops import geom
+
+        def build(white: bool):
+            b = SceneBuilder()
+            m = (
+                b.matte(kd=(1.0, 1.0, 1.0))
+                if white
+                else b.subsurface(rho=(0.95, 0.95, 0.95), mfp=(0.2,) * 3)
+            )
+            b.sphere(geom.translate([0.0, 0.0, 1.0]), 1.0, m)
+            b.point_light(p=(3.0, 4.0, 3.0), intensity=(60.0, 60.0, 60.0))
+            return b.build(accelerator="none")
+
+        settings = render_mod.RenderSettings(
+            width=32, height=32, spp=16, max_depth=4, integrator="path",
+            samples_per_pass=16, chunk_pixels=0,
+        )
+        camera = _camera(settings.width, settings.height, (0.0, 1.0, 4.0), (0.0, 1.0, 0.0), 40.0)
+        img_sss = np.asarray(render_mod.render(build(False), camera, settings))
+        img_ref = np.asarray(render_mod.render(build(True), camera, settings))
+        assert img_sss.sum() < img_ref.sum() * 1.25
+        assert img_sss.sum() > 0.0
+
+    def test_gradient_flows_to_albedo(self):
+        from gopbrt_tpu.models import film as film_mod
+        from gopbrt_tpu.models import render as render_mod
+        scene = _sss_scene()
+        settings = render_mod.RenderSettings(
+            width=16, height=16, spp=2, max_depth=3, integrator="path",
+            samples_per_pass=2, chunk_pixels=0,
+        )
+        camera = _camera(settings.width, settings.height, (0.0, 1.5, 4.5), (0.0, 0.8, 0.0), 45.0)
+
+        def loss(kd):
+            s = scene._replace(
+                materials=scene.materials._replace(kd=kd)
+            )
+            film = film_mod.new_film(settings.width, settings.height)
+            film = render_mod.render_pass(s, camera, film, settings, jnp.uint32(0))
+            return jnp.sum(film.rgb)
+
+        g = jax.grad(loss)(scene.materials.kd)
+        assert np.all(np.isfinite(np.asarray(g)))
+        # the subsurface material is row 0 — its albedo must receive gradient
+        assert float(jnp.abs(g[0]).sum()) > 0.0
