@@ -218,6 +218,8 @@ def _material_at(scene: Scene, si: isect.SurfaceInteraction) -> bsdf_ops.Materia
         kt=rows[..., 6:9],
         eta=rows[..., 10],
         roughness=rows[..., 11],
+        info=mats.info,
+        sss_cbar=None if mats.sss_cbar is None else mats.sss_cbar[mid],
     )
 
 

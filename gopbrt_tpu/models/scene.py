@@ -64,6 +64,10 @@ class Materials(NamedTuple):
     # d = mfp / s(ρ).  None when no material is subsurface — the probe
     # transport then compiles out of the integrator entirely.
     sss_d: Optional[jnp.ndarray] = None  # f32[M,3]
+    # precomputed Sw normalization c-bar per material (ADVICE r1 #2)
+    sss_cbar: Optional[jnp.ndarray] = None  # f32[M]
+    # static lobe-set descriptor (ops/static_info.MatInfo); None = all lobes
+    info: "object" = None
 
 
 class LightGrid(NamedTuple):
@@ -225,10 +229,12 @@ class SceneBuilder:
         and interface IOR eta.  The reference declares BSSRDF but never
         implements or wires it (bssrdf.go:3-12, path.go:120-141); here the
         full probe-ray transport runs (ops/bssrdf.py)."""
+        from gopbrt_tpu.ops.bssrdf import burley_scaling
+
         rho_t = _rgb(rho)
         mfp_t = _rgb(mfp)
         d = tuple(
-            max(m, 1e-5) / (1.9 - a + 3.5 * (a - 0.8) ** 2)
+            max(m, 1e-5) / float(burley_scaling(a))
             for a, m in zip(rho_t, mfp_t)
         )
         return self._add_material(
@@ -369,17 +375,61 @@ class SceneBuilder:
             self.matte()
         if not self._textures:
             self.constant_texture((0.0, 0.0, 0.0))
+        from gopbrt_tpu.ops.static_info import MatInfo, PrimInfo
+
         o2w = np.stack(self._o2w)
         w2o = np.linalg.inv(o2w.astype(np.float64)).astype(np.float32)
+
+        # static shape-set facts (compile out unused intersect kernels)
+        ptypes_np = np.asarray(self._prim_type, np.int32)
+        params_np = np.stack(self._params)
+        two_pi = 2.0 * math.pi - 1e-6
+        sph = params_np[ptypes_np == SPHERE]
+        dsk = params_np[ptypes_np == DISK]
+        pinfo = PrimInfo(
+            types=tuple(sorted(set(int(t) for t in ptypes_np))),
+            all_full_spheres=bool(
+                sph.size == 0
+                or np.all(
+                    (sph[:, 1] <= -sph[:, 0]) & (sph[:, 2] >= sph[:, 0])
+                    & (sph[:, 3] >= two_pi)
+                )
+            ),
+            all_full_disks=bool(
+                dsk.size == 0
+                or np.all((dsk[:, 2] <= 0.0) & (dsk[:, 3] >= two_pi))
+            ),
+        )
         prims = Primitives(
-            prim_type=jnp.asarray(np.asarray(self._prim_type, np.int32)),
+            prim_type=jnp.asarray(ptypes_np),
             obj_to_world=jnp.asarray(o2w),
             world_to_obj=jnp.asarray(w2o),
-            params=jnp.asarray(np.stack(self._params)),
+            params=jnp.asarray(params_np),
             material_id=jnp.asarray(np.asarray(self._mat_id, np.int32)),
             area_light_id=jnp.asarray(np.asarray(self._area_light, np.int32)),
             reverse_orientation=jnp.asarray(np.asarray(self._reverse, bool)),
+            pinfo=pinfo,
         )
+
+        # static lobe-set facts (compile out unused BSDF lobes)
+        glass_alphas = [
+            m["roughness"] for m in self._materials if m["mat_type"] == GLASS
+        ]
+        mat_types = set(m["mat_type"] for m in self._materials)
+        if SUBSURFACE in mat_types:
+            # the BSSRDF entry interface turns Fresnel-reflect lanes into
+            # unit mirrors (integrators._subsurface_transport)
+            mat_types.add(MIRROR)
+        minfo = MatInfo(
+            mat_types=tuple(sorted(mat_types)),
+            any_rough_glass=any(a > 1e-4 for a in glass_alphas),
+            any_smooth_glass=any(a <= 1e-4 for a in glass_alphas),
+            any_oren_nayar=any(
+                m["mat_type"] == MATTE and m["sigma"] > 0.0
+                for m in self._materials
+            ),
+        )
+        has_sss = any(m["mat_type"] == SUBSURFACE for m in self._materials)
         mats = Materials(
             mat_type=jnp.asarray([m["mat_type"] for m in self._materials], jnp.int32),
             kd=jnp.asarray([m["kd"] for m in self._materials], jnp.float32),
@@ -403,9 +453,15 @@ class SceneBuilder:
             ),
             sss_d=(
                 jnp.asarray([m["sss_d"] for m in self._materials], jnp.float32)
-                if any(m["mat_type"] == SUBSURFACE for m in self._materials)
+                if has_sss
                 else None
             ),
+            sss_cbar=(
+                _sss_cbar_table([m["eta"] for m in self._materials])
+                if has_sss
+                else None
+            ),
+            info=minfo,
         )
         texs = self._build_textures()
         lights = self._build_lights()
@@ -561,6 +617,15 @@ def _rgb(v) -> tuple:
     v = tuple(float(x) for x in v)
     assert len(v) == 3
     return v
+
+
+def _sss_cbar_table(etas) -> jnp.ndarray:
+    """Per-material Sw normalization c-bar = sw_normalization(eta), computed
+    once at build (ADVICE r1 #2: the 64-point Fresnel quadrature must not
+    run per lane per bounce)."""
+    from gopbrt_tpu.ops.bssrdf import sw_normalization
+
+    return sw_normalization(jnp.asarray(etas, jnp.float32))
 
 
 def _remap(roughness: float) -> float:

@@ -25,12 +25,13 @@ Known reference bugs consciously fixed (SURVEY §6):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
 from gopbrt_tpu.ops.geom import PI, INV_PI, dot, normalize
 from gopbrt_tpu.ops.sampling import cosine_sample_hemisphere
+from gopbrt_tpu.ops.static_info import MatInfo
 
 # material type tags (scene material table)
 MATTE = 0
@@ -62,6 +63,25 @@ class MaterialParams(NamedTuple):
     kt: jnp.ndarray  # f32[N,3]  transmission scale (glass)
     eta: jnp.ndarray  # f32[N]    interior IOR (glass/plastic fresnel)
     roughness: jnp.ndarray  # f32[N] GGX alpha (already remapped)
+    # static lobe-set descriptor (ops/static_info.MatInfo); None = all lobes.
+    # Narrows the branch-free dispatch below to the lobes the scene uses.
+    info: Optional[MatInfo] = None
+    # precomputed Sw normalization c-bar per lane (SUBSURFACE exit lobe);
+    # None when the scene has no subsurface material (ADVICE r1 #2).
+    sss_cbar: Optional[jnp.ndarray] = None  # f32[N]
+
+
+def _mtypes(mp: MaterialParams) -> tuple:
+    if mp.info is None:
+        return (MATTE, MIRROR, GLASS, PLASTIC, METAL, SUBSURFACE)
+    return mp.info.mat_types
+
+
+def _glass_split(mp: MaterialParams) -> tuple:
+    """(may_be_rough, may_be_smooth) for GLASS lanes, statically."""
+    if mp.info is None:
+        return True, True
+    return mp.info.any_rough_glass, mp.info.any_smooth_glass
 
 
 # --- local-frame trig (reflection.go:44-100) -------------------------------
@@ -326,8 +346,11 @@ class BsdfSample(NamedTuple):
 
 def _matte_f(mp: MaterialParams, wo, wi):
     lam = lambert_f(mp.kd, wo, wi)
-    on = oren_nayar_f(mp.kd, mp.sigma, wo, wi)
-    f = jnp.where((mp.sigma > 0.0)[..., None], on, lam)
+    if mp.info is None or mp.info.any_oren_nayar:
+        on = oren_nayar_f(mp.kd, mp.sigma, wo, wi)
+        f = jnp.where((mp.sigma > 0.0)[..., None], on, lam)
+    else:
+        f = lam
     return jnp.where(same_hemisphere(wo, wi)[..., None], f, 0.0)
 
 
@@ -351,10 +374,12 @@ def _metal_f(mp: MaterialParams, wo, wi):
 def _sss_exit_f(mp: MaterialParams, wo, wi):
     """BSSRDF exit lobe Sw (see SUBSURFACE tag): isotropic in azimuth,
     Fresnel-shaped in θ; lives on the outward (+z here: the integrator sets
-    wo = +ns at the exit) hemisphere."""
+    wo = +ns at the exit) hemisphere.  Uses the per-material precomputed
+    normalization c-bar when available (ADVICE r1 #2: avoids the 64-point
+    Fresnel quadrature per lane per call)."""
     from gopbrt_tpu.ops.bssrdf import sw
 
-    f = sw(mp.eta, cos_theta(wi))[..., None] * jnp.ones_like(mp.kd)
+    f = sw(mp.eta, cos_theta(wi), c_bar=mp.sss_cbar)[..., None] * jnp.ones_like(mp.kd)
     return jnp.where(same_hemisphere(wo, wi)[..., None], f, 0.0)
 
 
@@ -363,76 +388,78 @@ def bsdf_f(mp: MaterialParams, wo, wi):
 
     Delta lobes (mirror, smooth glass) contribute zero, as in the reference.
     Masked evaluation over the closed material set — on TPU this beats
-    data-dependent branching for a 5-way set.
+    data-dependent branching — but only over the lobes the scene's static
+    MatInfo says are present (ops/static_info.py).
     """
-    rough_glass = (mp.mat_type == GLASS) & (mp.roughness > 1e-4)
-    f = jnp.where(
-        (mp.mat_type == MATTE)[..., None],
-        _matte_f(mp, wo, wi),
-        jnp.where(
-            rough_glass[..., None],
-            _glass_rough_f(mp, wo, wi),
-            jnp.where(
-                (mp.mat_type == PLASTIC)[..., None],
-                _plastic_f(mp, wo, wi),
-                jnp.where(
-                    (mp.mat_type == METAL)[..., None],
-                    _metal_f(mp, wo, wi),
-                    jnp.where(
-                        (mp.mat_type == SUBSURFACE)[..., None],
-                        _sss_exit_f(mp, wo, wi),
-                        0.0,
-                    ),
-                ),
-            ),
-        ),
-    )
+    types = _mtypes(mp)
+    may_rough, _ = _glass_split(mp)
+    branches = []
+    if MATTE in types:
+        branches.append((mp.mat_type == MATTE, _matte_f(mp, wo, wi)))
+    if GLASS in types and may_rough:
+        rough_glass = (mp.mat_type == GLASS) & (mp.roughness > 1e-4)
+        branches.append((rough_glass, _glass_rough_f(mp, wo, wi)))
+    if PLASTIC in types:
+        branches.append((mp.mat_type == PLASTIC, _plastic_f(mp, wo, wi)))
+    if METAL in types:
+        branches.append((mp.mat_type == METAL, _metal_f(mp, wo, wi)))
+    if SUBSURFACE in types:
+        branches.append((mp.mat_type == SUBSURFACE, _sss_exit_f(mp, wo, wi)))
+    f = jnp.zeros(wo.shape, jnp.float32)
+    for mask, val in branches:
+        f = jnp.where(mask[..., None], val, f)
     return f
 
 
 def bsdf_pdf(mp: MaterialParams, wo, wi):
-    """pdf of bsdf_sample in solid angle (BSDF.Pdf, reflection.go:255-278)."""
-    cos_pdf = abs_cos_theta(wi) * INV_PI
+    """pdf of bsdf_sample in solid angle (BSDF.Pdf, reflection.go:255-278).
+
+    Statically narrowed to the scene's lobe set like bsdf_f."""
+    types = _mtypes(mp)
+    may_rough, _ = _glass_split(mp)
+    need_cos = MATTE in types or PLASTIC in types or SUBSURFACE in types
+    need_mfr = (GLASS in types and may_rough) or PLASTIC in types or METAL in types
     same = same_hemisphere(wo, wi)
-    matte_pdf = jnp.where(same, cos_pdf, 0.0)
 
-    wh_r = normalize(wi + wo, eps=1e-20)
-    mf_pdf_r = tr_pdf(wo, wh_r, mp.roughness) / jnp.maximum(
-        4.0 * jnp.abs(dot(wo, wh_r)), 1e-7
-    )
-    # glass rough: reflection or transmission half-vector pdf, fresnel-weighted
-    eta = jnp.where(cos_theta(wo) > 0, mp.eta, 1.0 / mp.eta)
-    wh_t = normalize(wo + wi * eta[..., None], eps=1e-20)
-    sqrt_denom = dot(wo, wh_t) + eta * dot(wi, wh_t)
-    dwh_dwi = jnp.abs(
-        (eta * eta * dot(wi, wh_t)) / jnp.maximum(sqrt_denom * sqrt_denom, 1e-10)
-    )
-    mf_pdf_t = tr_pdf(wo, wh_t, mp.roughness) * dwh_dwi
-    f_term = fr_dielectric(cos_theta(wo), 1.0, mp.eta)
-    glass_pdf = jnp.where(same, f_term * mf_pdf_r, (1.0 - f_term) * mf_pdf_t)
+    if need_cos:
+        cos_pdf = abs_cos_theta(wi) * INV_PI
+        matte_pdf = jnp.where(same, cos_pdf, 0.0)
+    if need_mfr:
+        wh_r = normalize(wi + wo, eps=1e-20)
+        mf_pdf_r = tr_pdf(wo, wh_r, mp.roughness) / jnp.maximum(
+            4.0 * jnp.abs(dot(wo, wh_r)), 1e-7
+        )
 
-    plastic_pdf = jnp.where(same, 0.5 * (cos_pdf + mf_pdf_r), 0.0)
-    metal_pdf = jnp.where(same, mf_pdf_r, 0.0)
+    branches = []
+    if MATTE in types:
+        branches.append((mp.mat_type == MATTE, matte_pdf))
+    if GLASS in types and may_rough:
+        # glass rough: reflection or transmission half-vector pdf,
+        # fresnel-weighted
+        eta = jnp.where(cos_theta(wo) > 0, mp.eta, 1.0 / mp.eta)
+        wh_t = normalize(wo + wi * eta[..., None], eps=1e-20)
+        sqrt_denom = dot(wo, wh_t) + eta * dot(wi, wh_t)
+        dwh_dwi = jnp.abs(
+            (eta * eta * dot(wi, wh_t)) / jnp.maximum(sqrt_denom * sqrt_denom, 1e-10)
+        )
+        mf_pdf_t = tr_pdf(wo, wh_t, mp.roughness) * dwh_dwi
+        f_term = fr_dielectric(cos_theta(wo), 1.0, mp.eta)
+        glass_pdf = jnp.where(same, f_term * mf_pdf_r, (1.0 - f_term) * mf_pdf_t)
+        rough_glass = (mp.mat_type == GLASS) & (mp.roughness > 1e-4)
+        branches.append((rough_glass, glass_pdf))
+    if PLASTIC in types:
+        branches.append(
+            (mp.mat_type == PLASTIC, jnp.where(same, 0.5 * (cos_pdf + mf_pdf_r), 0.0))
+        )
+    if METAL in types:
+        branches.append((mp.mat_type == METAL, jnp.where(same, mf_pdf_r, 0.0)))
+    if SUBSURFACE in types:
+        # BSSRDF exit lobe: cosine-sampled (see bsdf_sample)
+        branches.append((mp.mat_type == SUBSURFACE, matte_pdf))
 
-    rough_glass = (mp.mat_type == GLASS) & (mp.roughness > 1e-4)
-    pdf = jnp.where(
-        mp.mat_type == MATTE,
-        matte_pdf,
-        jnp.where(
-            rough_glass,
-            glass_pdf,
-            jnp.where(
-                mp.mat_type == PLASTIC,
-                plastic_pdf,
-                jnp.where(
-                    mp.mat_type == METAL,
-                    metal_pdf,
-                    # BSSRDF exit lobe: cosine-sampled (see bsdf_sample)
-                    jnp.where(mp.mat_type == SUBSURFACE, matte_pdf, 0.0),
-                ),
-            ),
-        ),
-    )
+    pdf = jnp.zeros(wo.shape[:-1], jnp.float32)
+    for mask, val in branches:
+        pdf = jnp.where(mask, val, pdf)
     return pdf
 
 
@@ -440,120 +467,191 @@ def bsdf_sample(mp: MaterialParams, wo, u2, uc) -> BsdfSample:
     """Sample wi ~ BSDF (BSDF.SampleF, reflection.go:188-253).
 
     u2: f32[N,2] for the lobe's 2D sample; uc: f32[N] for lobe choice
-    (Fresnel R/T, plastic diffuse/gloss).
+    (Fresnel R/T, plastic diffuse/gloss).  Only the lobes in the scene's
+    static MatInfo are computed (ops/static_info.py).
     """
     n = wo.shape[0]
     one = jnp.ones((n,), jnp.float32)
+    false = jnp.zeros((n,), bool)
 
-    # --- matte: cosine hemisphere on wo's side
-    wi_matte = cosine_sample_hemisphere(u2)
-    wi_matte = jnp.where(cos_theta(wo)[..., None] < 0, wi_matte * jnp.asarray([1.0, 1.0, -1.0]), wi_matte)
-    pdf_matte = abs_cos_theta(wi_matte) * INV_PI
-    f_matte = _matte_f(mp, wo, wi_matte)
+    types = _mtypes(mp)
+    may_rough, may_smooth = _glass_split(mp)
+    has_rough_glass = GLASS in types and may_rough
+    has_smooth_glass = GLASS in types and may_smooth
+    need_matte = MATTE in types or PLASTIC in types or SUBSURFACE in types
+    need_mfr = has_rough_glass or PLASTIC in types or METAL in types
+    need_eta_ratio = has_smooth_glass or has_rough_glass
 
-    # --- mirror: delta reflection, Fresnel no-op (mirror.go:21-32)
-    wi_mirror = reflect_local(wo)
-    f_mirror = mp.kr / jnp.maximum(abs_cos_theta(wi_mirror), 1e-7)[..., None]
+    if need_matte:
+        # --- matte: cosine hemisphere on wo's side
+        wi_matte = cosine_sample_hemisphere(u2)
+        wi_matte = jnp.where(
+            cos_theta(wo)[..., None] < 0,
+            wi_matte * jnp.asarray([1.0, 1.0, -1.0]),
+            wi_matte,
+        )
+        pdf_matte = abs_cos_theta(wi_matte) * INV_PI
 
-    # --- smooth glass: FresnelSpecular (reflection.go:465-536, bug #8 fixed)
-    f_term = fr_dielectric(cos_theta(wo), 1.0, mp.eta)
-    choose_r = uc < f_term
-    wi_fr = reflect_local(wo)
-    f_fr = f_term[..., None] * mp.kr / jnp.maximum(abs_cos_theta(wi_fr), 1e-7)[..., None]
-    pdf_fr = f_term
-    # transmission branch
-    entering = cos_theta(wo) > 0
-    eta_ratio = jnp.where(entering, 1.0 / mp.eta, mp.eta)
-    n_local = jnp.where(
-        entering[..., None],
-        jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape),
-        jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32), wo.shape),
-    )
-    ok_t, wi_ft = refract(wo, n_local, eta_ratio)
-    wi_ft = normalize(wi_ft, eps=1e-20)
-    # radiance transport factor (etaI/etaT)^2 = eta_ratio^2 included in f;
-    # eta_scale below undoes it for Russian-roulette (path.go:105-115).
-    f_ft = (
-        ((1.0 - f_term) * eta_ratio * eta_ratio)[..., None]
-        * mp.kt
-        / jnp.maximum(abs_cos_theta(wi_ft), 1e-7)[..., None]
-    )
-    pdf_ft = 1.0 - f_term
-    wi_glass = jnp.where(choose_r[..., None], wi_fr, wi_ft)
-    f_glass = jnp.where(choose_r[..., None], f_fr, jnp.where(ok_t[..., None], f_ft, 0.0))
-    pdf_glass = jnp.where(choose_r, pdf_fr, pdf_ft)
-    glass_transmit = ~choose_r & ok_t
-    eta_scale_glass = jnp.where(
-        glass_transmit, 1.0 / (eta_ratio * eta_ratio), 1.0
-    )
+    if MIRROR in types or has_smooth_glass:
+        wi_mirror = reflect_local(wo)
 
-    # --- rough glass: GGX half-vector sampling, then Fresnel R/T choice
-    wh = tr_sample_wh(wo, u2, mp.roughness)
-    fr_wh = fr_dielectric(dot(wo, wh), 1.0, mp.eta)
-    choose_rr = uc < fr_wh
-    wi_mfr = normalize(2.0 * dot(wo, wh)[..., None] * wh - wo, eps=1e-20)
-    ok_mt, wi_mft = refract(
-        wo, jnp.where(dot(wo, wh)[..., None] < 0, -wh, wh), eta_ratio
-    )
-    wi_mft = normalize(wi_mft, eps=1e-20)
-    wi_rough = jnp.where(choose_rr[..., None], wi_mfr, wi_mft)
-    f_rough = _glass_rough_f(mp, wo, wi_rough)
-    pdf_rough = bsdf_pdf(
-        mp._replace(mat_type=jnp.full_like(mp.mat_type, GLASS)), wo, wi_rough
-    )
-    rough_transmit = ~choose_rr & ok_mt
-    eta_scale_rough = jnp.where(rough_transmit, 1.0 / (eta_ratio * eta_ratio), 1.0)
+    if need_eta_ratio:
+        entering = cos_theta(wo) > 0
+        eta_ratio = jnp.where(entering, 1.0 / mp.eta, mp.eta)
 
-    # --- plastic: choose diffuse or glossy by uc, pdf averaged
-    # (BSDF.SampleF lobe-averaging semantics, reflection.go:188-253)
-    choose_diff = uc < 0.5
-    wi_gloss = wi_mfr
-    wi_plastic = jnp.where(choose_diff[..., None], wi_matte, wi_gloss)
-    f_plastic = _plastic_f(mp, wo, wi_plastic)
-    pdf_plastic = bsdf_pdf(
-        mp._replace(mat_type=jnp.full_like(mp.mat_type, PLASTIC)), wo, wi_plastic
-    )
+    if has_smooth_glass:
+        # --- smooth glass: FresnelSpecular (reflection.go:465-536, bug #8
+        # fixed)
+        f_term = fr_dielectric(cos_theta(wo), 1.0, mp.eta)
+        choose_r = uc < f_term
+        wi_fr = wi_mirror
+        f_fr = (
+            f_term[..., None] * mp.kr
+            / jnp.maximum(abs_cos_theta(wi_fr), 1e-7)[..., None]
+        )
+        pdf_fr = f_term
+        # transmission branch
+        n_local = jnp.where(
+            entering[..., None],
+            jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape),
+            jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32), wo.shape),
+        )
+        ok_t, wi_ft = refract(wo, n_local, eta_ratio)
+        wi_ft = normalize(wi_ft, eps=1e-20)
+        # radiance transport factor (etaI/etaT)^2 = eta_ratio^2 included in
+        # f; eta_scale below undoes it for Russian-roulette (path.go:105-115).
+        f_ft = (
+            ((1.0 - f_term) * eta_ratio * eta_ratio)[..., None]
+            * mp.kt
+            / jnp.maximum(abs_cos_theta(wi_ft), 1e-7)[..., None]
+        )
+        pdf_ft = 1.0 - f_term
+        wi_glass = jnp.where(choose_r[..., None], wi_fr, wi_ft)
+        f_glass = jnp.where(
+            choose_r[..., None], f_fr, jnp.where(ok_t[..., None], f_ft, 0.0)
+        )
+        pdf_glass = jnp.where(choose_r, pdf_fr, pdf_ft)
+        glass_transmit = ~choose_r & ok_t
+        eta_scale_glass = jnp.where(
+            glass_transmit, 1.0 / (eta_ratio * eta_ratio), 1.0
+        )
 
-    # --- metal: GGX reflection only
-    wi_metal = wi_mfr
-    f_metal = _metal_f(mp, wo, wi_metal)
-    pdf_metal = bsdf_pdf(
-        mp._replace(mat_type=jnp.full_like(mp.mat_type, METAL)), wo, wi_metal
-    )
+    if need_mfr:
+        # --- GGX half-vector sampling (shared by rough glass/plastic/metal)
+        wh = tr_sample_wh(wo, u2, mp.roughness)
+        wi_mfr = normalize(2.0 * dot(wo, wh)[..., None] * wh - wo, eps=1e-20)
 
-    # --- subsurface exit lobe: cosine-sampled Sw (entry transport handled
-    # by the integrator's _subsurface_transport before BSDF dispatch)
-    f_sss = _sss_exit_f(mp, wo, wi_matte)
+    if has_rough_glass:
+        # --- rough glass: GGX half-vector, then Fresnel R/T choice
+        fr_wh = fr_dielectric(dot(wo, wh), 1.0, mp.eta)
+        choose_rr = uc < fr_wh
+        ok_mt, wi_mft = refract(
+            wo, jnp.where(dot(wo, wh)[..., None] < 0, -wh, wh), eta_ratio
+        )
+        wi_mft = normalize(wi_mft, eps=1e-20)
+        wi_rough = jnp.where(choose_rr[..., None], wi_mfr, wi_mft)
+        f_rough = _glass_rough_f(mp, wo, wi_rough)
+        pdf_rough = bsdf_pdf(
+            mp._replace(
+                mat_type=jnp.full_like(mp.mat_type, GLASS),
+                info=None if mp.info is None else mp.info.__class__(
+                    mat_types=(GLASS,), any_rough_glass=True,
+                    any_smooth_glass=False, any_oren_nayar=False,
+                ),
+            ),
+            wo, wi_rough,
+        )
+        rough_transmit = ~choose_rr & ok_mt
+        eta_scale_rough = jnp.where(
+            rough_transmit, 1.0 / (eta_ratio * eta_ratio), 1.0
+        )
 
-    rough_glass = (mp.mat_type == GLASS) & (mp.roughness > 1e-4)
-    smooth_glass = (mp.mat_type == GLASS) & ~rough_glass
+    if PLASTIC in types:
+        # --- plastic: choose diffuse or glossy by uc, pdf averaged
+        # (BSDF.SampleF lobe-averaging semantics, reflection.go:188-253)
+        choose_diff = uc < 0.5
+        wi_plastic = jnp.where(choose_diff[..., None], wi_matte, wi_mfr)
+        f_plastic = _plastic_f(mp, wo, wi_plastic)
+        pdf_plastic = bsdf_pdf(
+            mp._replace(
+                mat_type=jnp.full_like(mp.mat_type, PLASTIC),
+                info=None if mp.info is None else mp.info.__class__(
+                    mat_types=(PLASTIC,), any_rough_glass=False,
+                    any_smooth_glass=False, any_oren_nayar=False,
+                ),
+            ),
+            wo, wi_plastic,
+        )
 
-    def pick(matte_v, mirror_v, sglass_v, rglass_v, plastic_v, metal_v, sss_v):
-        def bc(m, v):
-            while m.ndim < v.ndim:
-                m = m[..., None]
-            return m
+    if METAL in types:
+        # --- metal: GGX reflection only
+        f_metal = _metal_f(mp, wo, wi_mfr)
+        pdf_metal = bsdf_pdf(
+            mp._replace(
+                mat_type=jnp.full_like(mp.mat_type, METAL),
+                info=None if mp.info is None else mp.info.__class__(
+                    mat_types=(METAL,), any_rough_glass=False,
+                    any_smooth_glass=False, any_oren_nayar=False,
+                ),
+            ),
+            wo, wi_mfr,
+        )
 
-        t = mp.mat_type
-        return jnp.where(bc(t == MATTE, matte_v), matte_v, jnp.where(
-            bc(t == MIRROR, mirror_v), mirror_v, jnp.where(
-                bc(smooth_glass, sglass_v), sglass_v, jnp.where(
-                    bc(rough_glass, rglass_v), rglass_v, jnp.where(
-                        bc(t == PLASTIC, plastic_v), plastic_v, jnp.where(
-                            bc(t == METAL, metal_v), metal_v, sss_v))))))
+    if GLASS in types:
+        if may_rough and may_smooth:
+            rough_glass = (mp.mat_type == GLASS) & (mp.roughness > 1e-4)
+            smooth_glass = (mp.mat_type == GLASS) & ~(mp.roughness > 1e-4)
+        elif may_rough:
+            rough_glass = mp.mat_type == GLASS
+            smooth_glass = false
+        else:
+            rough_glass = false
+            smooth_glass = mp.mat_type == GLASS
 
-    wi = pick(wi_matte, wi_mirror, wi_glass, wi_rough, wi_plastic, wi_metal,
-              wi_matte)
-    f = pick(f_matte, f_mirror, f_glass, f_rough, f_plastic, f_metal, f_sss)
-    pdf = pick(pdf_matte, one, pdf_glass, pdf_rough, pdf_plastic, pdf_metal,
-               pdf_matte)
-    is_specular = (mp.mat_type == MIRROR) | smooth_glass
-    is_transmission = jnp.where(
-        smooth_glass, glass_transmit, jnp.where(rough_glass, rough_transmit, False)
-    )
-    eta_scale = jnp.where(
-        smooth_glass, eta_scale_glass, jnp.where(rough_glass, eta_scale_rough, 1.0)
-    )
+    # precedence-ordered branch list: (mask, wi, f, pdf)
+    branches = []
+    if MATTE in types:
+        f_matte = _matte_f(mp, wo, wi_matte)
+        branches.append((mp.mat_type == MATTE, wi_matte, f_matte, pdf_matte))
+    if MIRROR in types:
+        # --- mirror: delta reflection, Fresnel no-op (mirror.go:21-32)
+        f_mirror = mp.kr / jnp.maximum(abs_cos_theta(wi_mirror), 1e-7)[..., None]
+        branches.append((mp.mat_type == MIRROR, wi_mirror, f_mirror, one))
+    if has_smooth_glass:
+        branches.append((smooth_glass, wi_glass, f_glass, pdf_glass))
+    if has_rough_glass:
+        branches.append((rough_glass, wi_rough, f_rough, pdf_rough))
+    if PLASTIC in types:
+        branches.append((mp.mat_type == PLASTIC, wi_plastic, f_plastic, pdf_plastic))
+    if METAL in types:
+        branches.append((mp.mat_type == METAL, wi_mfr, f_metal, pdf_metal))
+    if SUBSURFACE in types:
+        # --- subsurface exit lobe: cosine-sampled Sw (entry transport is
+        # the integrator's _subsurface_transport, before BSDF dispatch)
+        f_sss = _sss_exit_f(mp, wo, wi_matte)
+        branches.append((mp.mat_type == SUBSURFACE, wi_matte, f_sss, pdf_matte))
+
+    assert branches, "bsdf_sample: empty material set"
+    _, wi, f, pdf = branches[-1]
+    for mask, wi_b, f_b, pdf_b in branches[-2::-1]:
+        m3 = mask[..., None]
+        wi = jnp.where(m3, wi_b, wi)
+        f = jnp.where(m3, f_b, f)
+        pdf = jnp.where(mask, pdf_b, pdf)
+
+    is_specular = false
+    if MIRROR in types:
+        is_specular = mp.mat_type == MIRROR
+    if has_smooth_glass:
+        is_specular = is_specular | smooth_glass
+    is_transmission = false
+    eta_scale = one
+    if has_smooth_glass:
+        is_transmission = jnp.where(smooth_glass, glass_transmit, is_transmission)
+        eta_scale = jnp.where(smooth_glass, eta_scale_glass, eta_scale)
+    if has_rough_glass:
+        is_transmission = jnp.where(rough_glass, rough_transmit, is_transmission)
+        eta_scale = jnp.where(rough_glass, eta_scale_rough, eta_scale)
     return BsdfSample(
         wi=wi,
         f=f,

@@ -154,11 +154,16 @@ def sp(rho, r, d_rgb):
     return rho * burley_pdf_area(r[..., None], d_rgb)
 
 
-def sw(eta, cos_theta_i):
+def sw(eta, cos_theta_i, c_bar=None):
     """Directional exit term Sw(w) = (1-Fr(η,cosθ)) / (c̄ π)
-    (PBRT SeparableBSSRDF::Sw); scalar per lane."""
+    (PBRT SeparableBSSRDF::Sw); scalar per lane.
+
+    c_bar: optional precomputed sw_normalization(eta) — pass the
+    per-material value from the scene table (Materials.sss_cbar) to avoid
+    re-running the 64-point Fresnel quadrature per lane per call."""
     from gopbrt_tpu.ops.bsdf import fr_dielectric
 
-    c_bar = sw_normalization(eta)
+    if c_bar is None:
+        c_bar = sw_normalization(eta)
     fr = fr_dielectric(cos_theta_i, 1.0, eta)
     return (1.0 - fr) / jnp.maximum(c_bar * PI, 1e-6)

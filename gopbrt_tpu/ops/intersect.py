@@ -36,6 +36,7 @@ from gopbrt_tpu.ops.geom import (
     length_sq,
     gamma,
 )
+from gopbrt_tpu.ops.static_info import PrimInfo
 
 # primitive type tags
 SPHERE = 0
@@ -66,10 +67,18 @@ class Primitives(NamedTuple):
     material_id: jnp.ndarray  # int32[P]
     area_light_id: jnp.ndarray  # int32[P], -1 = not an emitter
     reverse_orientation: jnp.ndarray  # bool[P] (xor'd with handedness swap)
+    # static (trace-time) shape-set descriptor; None = assume all types.
+    # SceneBuilder.build() fills it so single-type scenes compile only the
+    # kernels they need (ops/static_info.py).
+    pinfo: PrimInfo = None
 
     @property
     def count(self) -> int:
         return self.prim_type.shape[0]
+
+    @property
+    def types(self) -> tuple:
+        return (SPHERE, DISK, TRIANGLE) if self.pinfo is None else self.pinfo.types
 
 
 class SurfaceInteraction(NamedTuple):
@@ -231,15 +240,21 @@ def prim_t(prims: Primitives, i, o, d, t_max):
     kernels — on TPU this is cheaper than lax.switch's sequencing for a
     3-way closed set and keeps everything on the VPU.
     """
+    types = prims.types
     ptype = prims.prim_type[i]
     params = prims.params[i]
-    w2o = prims.world_to_obj[i]
-    oo = geom.apply_point_affine(w2o, o)
-    od = geom.apply_vector(w2o, d)
-    ts = sphere_t(oo, od, t_max, params)
-    td = disk_t(oo, od, t_max, params)
-    tt = triangle_t(o, d, t_max, params)
-    return jnp.where(ptype == SPHERE, ts, jnp.where(ptype == DISK, td, tt))
+    if SPHERE in types or DISK in types:
+        w2o = prims.world_to_obj[i]
+        oo = geom.apply_point_affine(w2o, o)
+        od = geom.apply_vector(w2o, d)
+    t = jnp.full(o.shape[:-1], _BIG, jnp.float32)
+    if SPHERE in types:
+        t = jnp.where(ptype == SPHERE, sphere_t(oo, od, t_max, params), t)
+    if DISK in types:
+        t = jnp.where(ptype == DISK, disk_t(oo, od, t_max, params), t)
+    if TRIANGLE in types:
+        t = jnp.where(ptype == TRIANGLE, triangle_t(o, d, t_max, params), t)
+    return t
 
 
 def intersect_brute(prims: Primitives, o, d, t_max):
@@ -378,42 +393,60 @@ def surface_interaction(
     Counterpart of the object->world transform at sphere.go:172-187 and
     interaction.go's normal orientation rules.
     """
+    types = prims.types
+    has_xf = SPHERE in types or DISK in types  # transformed (object-space) shapes
     ptype = prims.prim_type[prim_idx]  # [N] (int gather: cheap, 1 word)
     params = gather_rows(prims.params, prim_idx)  # [N,9]
-    o2w = gather_rows(prims.obj_to_world, prim_idx)
-    w2o = gather_rows(prims.world_to_obj, prim_idx)
     rev = prims.reverse_orientation[prim_idx]
+    if has_xf:
+        o2w = gather_rows(prims.obj_to_world, prim_idx)
+        w2o = gather_rows(prims.world_to_obj, prim_idx)
+        oo = geom.apply_point_affine(w2o, o)
+        od = geom.apply_vector(w2o, d)
 
-    oo = geom.apply_point_affine(w2o, o)
-    od = geom.apply_vector(w2o, d)
+    geos = []  # (lane_mask, (p, p_err, n, uv, dpdu, dpdv)) per present type
+    if SPHERE in types:
+        geos.append((ptype == SPHERE, _sphere_geometry(oo, od, t, params)))
+    if DISK in types:
+        geos.append((ptype == DISK, _disk_geometry(oo, od, t, params)))
+    if TRIANGLE in types:
+        geos.append((ptype == TRIANGLE, _triangle_geometry(o, d, t, params)))
 
-    sp = _sphere_geometry(oo, od, t, params)
-    dk = _disk_geometry(oo, od, t, params)
-    tr = _triangle_geometry(o, d, t, params)
+    def sel(vals):
+        acc = vals[-1][1]
+        for m, v in vals[-2::-1]:
+            mm = m
+            while mm.ndim < v.ndim:
+                mm = mm[..., None]
+            acc = jnp.where(mm, v, acc)
+        return acc
 
-    def sel(a, b, c):
-        m_s = (ptype == SPHERE)
-        m_d = (ptype == DISK)
-        for _ in range(a.ndim - m_s.ndim):
-            m_s = m_s[..., None]
-            m_d = m_d[..., None]
-        return jnp.where(m_s, a, jnp.where(m_d, b, c))
-
-    p_l, perr_l, n_l, uv, dpdu_l, dpdv_l = (sel(a, b, c) for a, b, c in zip(sp, dk, tr))
+    p_l, perr_l, n_l, uv, dpdu_l, dpdv_l = (
+        sel([(m, g[k]) for m, g in geos]) for k in range(6)
+    )
 
     is_tri = ptype == TRIANGLE
-    m_tri = is_tri[..., None]
-    # triangles are stored world-space: skip the transform
-    p_w, perr_w = geom.apply_point_error(o2w, p_l)
-    perr_w = perr_w + geom.apply_vector(jnp.abs(o2w), perr_l)
-    p = jnp.where(m_tri, p_l, p_w)
-    p_err = jnp.where(m_tri, perr_l, perr_w)
-    n = jnp.where(m_tri, n_l, normalize(geom.apply_normal(w2o, n_l), eps=1e-30))
-    dpdu = jnp.where(m_tri, dpdu_l, geom.apply_vector(o2w, dpdu_l))
-    dpdv = jnp.where(m_tri, dpdv_l, geom.apply_vector(o2w, dpdv_l))
-
-    swap = geom.swaps_handedness(o2w)
-    flip = jnp.logical_xor(rev, jnp.where(is_tri, False, swap))
+    if has_xf:
+        m_tri = is_tri[..., None]
+        # triangles are stored world-space: skip the transform
+        p_w, perr_w = geom.apply_point_error(o2w, p_l)
+        perr_w = perr_w + geom.apply_vector(jnp.abs(o2w), perr_l)
+        n_w = normalize(geom.apply_normal(w2o, n_l), eps=1e-30)
+        dpdu_w = geom.apply_vector(o2w, dpdu_l)
+        dpdv_w = geom.apply_vector(o2w, dpdv_l)
+        if TRIANGLE in types:
+            p = jnp.where(m_tri, p_l, p_w)
+            p_err = jnp.where(m_tri, perr_l, perr_w)
+            n = jnp.where(m_tri, n_l, n_w)
+            dpdu = jnp.where(m_tri, dpdu_l, dpdu_w)
+            dpdv = jnp.where(m_tri, dpdv_l, dpdv_w)
+        else:
+            p, p_err, n, dpdu, dpdv = p_w, perr_w, n_w, dpdu_w, dpdv_w
+        swap = geom.swaps_handedness(o2w)
+        flip = jnp.logical_xor(rev, jnp.where(is_tri, False, swap))
+    else:  # triangle-only table: world space throughout, no transforms
+        p, p_err, n, dpdu, dpdv = p_l, perr_l, n_l, dpdu_l, dpdv_l
+        flip = rev
     n = jnp.where(flip[..., None], -n, n)
     ns = n  # no bump mapping / vertex normals yet (reference's Bump is a stub)
     wo = normalize(-d, eps=1e-30)

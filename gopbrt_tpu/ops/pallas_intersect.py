@@ -37,121 +37,140 @@ _BIG = 1e30
 UNROLL_MAX = 32  # static-unroll primitive loop below this count
 
 
-def _prim_test(ptype, m, pr, ox, oy, oz, dx, dy, dz, t_limit):
+def _prim_test(ptype, m, pr, ox, oy, oz, dx, dy, dz, t_limit,
+               types=(SPHERE, DISK, TRIANGLE), full_sph=False, full_disk=False):
     """One primitive vs a block of rays -> candidate t ([B] f32, _BIG miss).
 
     ptype/m/pr are scalars (python or traced); rays are [B] vectors.
     m: 12 affine world->object entries (row-major 3x4); pr: 9 params.
+    types/full_sph/full_disk are STATIC (from Primitives.pinfo): absent
+    shape kernels and the partial-sphere/disk clip tests compile out.
     """
-    # world->object transform (skipped for triangles, which live in world
-    # space — but computing it costs nothing extra thanks to masking)
-    oox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-    ooy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-    ooz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-    odx = m[0] * dx + m[1] * dy + m[2] * dz
-    ody = m[4] * dx + m[5] * dy + m[6] * dz
-    odz = m[8] * dx + m[9] * dy + m[10] * dz
+    if SPHERE in types or DISK in types:
+        # world->object transform (triangles live in world space)
+        oox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+        ooy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+        ooz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+        odx = m[0] * dx + m[1] * dy + m[2] * dz
+        ody = m[4] * dx + m[5] * dy + m[6] * dz
+        odz = m[8] * dx + m[9] * dy + m[10] * dz
 
-    # --- sphere (params: radius, zmin, zmax, phimax) — recentred quadratic
-    # (perpendicular-foot form; see ops.intersect._sphere_roots for why)
-    radius = pr[0]
-    a = odx * odx + ody * ody + odz * odz
-    safe_a = jnp.where(a == 0.0, 1.0, a)
-    t_foot = -(oox * odx + ooy * ody + ooz * odz) / safe_a
-    fx = oox + odx * t_foot
-    fy = ooy + ody * t_foot
-    fz = ooz + odz * t_foot
-    disc_core = radius * radius - (fx * fx + fy * fy + fz * fz)
-    ok = (disc_core >= 0.0) & (a > 0.0)
-    delta = jnp.sqrt(jnp.maximum(disc_core, 0.0) / safe_a)
-    lo = t_foot - delta
-    hi = t_foot + delta
-    olen = jnp.sqrt(jnp.maximum(oox * oox + ooy * ooy + ooz * ooz, 1.0))
-    dlen = jnp.sqrt(jnp.maximum(a, 1e-20))
-    t_eps = 1e-4 * olen / dlen
+    if (SPHERE in types and not full_sph) or (DISK in types and not full_disk):
+        # phi <= phi_max without atan2 (unsupported in Pallas TPU lowering):
+        # wedge test against the phi_max ray via sign of the 2D cross product.
+        sin_pm = jnp.sin(pr[3])
+        cos_pm = jnp.cos(pr[3])
+        pm_le_pi = pr[3] <= math.pi
 
-    # phi <= phi_max without atan2 (unsupported in Pallas TPU lowering):
-    # wedge test against the phi_max ray via sign of the 2D cross product.
-    sin_pm = jnp.sin(pr[3])
-    cos_pm = jnp.cos(pr[3])
-    pm_le_pi = pr[3] <= math.pi
+        def in_wedge(x, y):
+            # (Mosaic cannot select between i1 vectors — use logical ops)
+            cross = x * sin_pm - y * cos_pm
+            narrow = (y >= 0.0) & (cross >= 0.0)
+            wide = ~((y < 0.0) & (cross < 0.0))
+            return (pm_le_pi & narrow) | (~pm_le_pi & wide)
 
-    def in_wedge(x, y):
-        # (Mosaic cannot select between i1 vectors — use logical ops)
-        cross = x * sin_pm - y * cos_pm
-        narrow = (y >= 0.0) & (cross >= 0.0)
-        wide = ~((y < 0.0) & (cross < 0.0))
-        return (pm_le_pi & narrow) | (~pm_le_pi & wide)
+    t_best = None
 
-    def clip_ok(t):
-        px = oox + odx * t
-        py = ooy + ody * t
-        pz = ooz + odz * t
-        norm = jnp.sqrt(jnp.maximum(px * px + py * py + pz * pz, 1e-20))
-        s = radius / norm
-        pz = pz * s
-        ppx = px * s
-        ppy = py * s
-        full = (pr[1] <= -radius) & (pr[2] >= radius) & (
-            pr[3] >= 2.0 * math.pi - 1e-6
+    if SPHERE in types:
+        # --- sphere (params: radius, zmin, zmax, phimax) — recentred
+        # quadratic (perpendicular-foot form; see ops.intersect._sphere_roots)
+        radius = pr[0]
+        a = odx * odx + ody * ody + odz * odz
+        safe_a = jnp.where(a == 0.0, 1.0, a)
+        t_foot = -(oox * odx + ooy * ody + ooz * odz) / safe_a
+        fx = oox + odx * t_foot
+        fy = ooy + ody * t_foot
+        fz = ooz + odz * t_foot
+        disc_core = radius * radius - (fx * fx + fy * fy + fz * fz)
+        ok = (disc_core >= 0.0) & (a > 0.0)
+        delta = jnp.sqrt(jnp.maximum(disc_core, 0.0) / safe_a)
+        lo = t_foot - delta
+        hi = t_foot + delta
+        olen = jnp.sqrt(jnp.maximum(oox * oox + ooy * ooy + ooz * ooz, 1.0))
+        dlen = jnp.sqrt(jnp.maximum(a, 1e-20))
+        t_eps = 1e-4 * olen / dlen
+
+        if full_sph:
+            def clip_ok(t):
+                return True
+        else:
+            def clip_ok(t):
+                px = oox + odx * t
+                py = ooy + ody * t
+                pz = ooz + odz * t
+                norm = jnp.sqrt(jnp.maximum(px * px + py * py + pz * pz, 1e-20))
+                s = radius / norm
+                pz = pz * s
+                ppx = px * s
+                ppy = py * s
+                full = (pr[1] <= -radius) & (pr[2] >= radius) & (
+                    pr[3] >= 2.0 * math.pi - 1e-6
+                )
+                part = (pz >= pr[1]) & (pz <= pr[2]) & in_wedge(ppx, ppy)
+                return full | part
+
+        v0 = ok & (lo > t_eps) & (lo < t_limit) & clip_ok(lo)
+        v1 = ok & (hi > t_eps) & (hi < t_limit) & clip_ok(hi)
+        t_best = jnp.where(v0, lo, jnp.where(v1, hi, _BIG))
+
+    if DISK in types:
+        # --- disk (params: height, radius, inner, phimax)
+        parallel = jnp.abs(odz) < 1e-12
+        t_pl = (pr[0] - ooz) / jnp.where(parallel, 1.0, odz)
+        pxd = oox + odx * t_pl
+        pyd = ooy + ody * t_pl
+        d2 = pxd * pxd + pyd * pyd
+        vd = (
+            (~parallel)
+            & (t_pl > 1e-4)
+            & (t_pl < t_limit)
+            & (d2 <= pr[1] * pr[1])
         )
-        part = (pz >= pr[1]) & (pz <= pr[2]) & in_wedge(ppx, ppy)
-        return full | part
+        if not full_disk:
+            fd = pr[3] >= 2.0 * math.pi - 1e-6
+            vd = vd & (d2 >= pr[2] * pr[2]) & (fd | in_wedge(pxd, pyd))
+        t_dsk = jnp.where(vd, t_pl, _BIG)
+        if t_best is None:
+            t_best = t_dsk
+        else:
+            t_best = jnp.where(ptype == DISK, t_dsk, t_best)
 
-    v0 = ok & (lo > t_eps) & (lo < t_limit) & clip_ok(lo)
-    v1 = ok & (hi > t_eps) & (hi < t_limit) & clip_ok(hi)
-    t_sph = jnp.where(v0, lo, jnp.where(v1, hi, _BIG))
+    if TRIANGLE in types:
+        # --- triangle (params: 3 world-space vertices), Moller-Trumbore
+        e1x, e1y, e1z = pr[3] - pr[0], pr[4] - pr[1], pr[5] - pr[2]
+        e2x, e2y, e2z = pr[6] - pr[0], pr[7] - pr[1], pr[8] - pr[2]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        degen = jnp.abs(det) < 1e-12
+        inv_det = 1.0 / jnp.where(degen, 1.0, det)
+        tvx, tvy, tvz = ox - pr[0], oy - pr[1], oz - pr[2]
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        vt = (
+            (~degen)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (tt > 1e-4)
+            & (tt < t_limit)
+        )
+        t_tri = jnp.where(vt, tt, _BIG)
+        if t_best is None:
+            t_best = t_tri
+        else:
+            t_best = jnp.where(ptype == TRIANGLE, t_tri, t_best)
 
-    # --- disk (params: height, radius, inner, phimax)
-    parallel = jnp.abs(odz) < 1e-12
-    t_pl = (pr[0] - ooz) / jnp.where(parallel, 1.0, odz)
-    pxd = oox + odx * t_pl
-    pyd = ooy + ody * t_pl
-    d2 = pxd * pxd + pyd * pyd
-    full_disk = pr[3] >= 2.0 * math.pi - 1e-6
-    vd = (
-        (~parallel)
-        & (t_pl > 1e-4)
-        & (t_pl < t_limit)
-        & (d2 <= pr[1] * pr[1])
-        & (d2 >= pr[2] * pr[2])
-        & (full_disk | in_wedge(pxd, pyd))
-    )
-    t_dsk = jnp.where(vd, t_pl, _BIG)
-
-    # --- triangle (params: 3 world-space vertices), Moller-Trumbore
-    e1x, e1y, e1z = pr[3] - pr[0], pr[4] - pr[1], pr[5] - pr[2]
-    e2x, e2y, e2z = pr[6] - pr[0], pr[7] - pr[1], pr[8] - pr[2]
-    pvx = dy * e2z - dz * e2y
-    pvy = dz * e2x - dx * e2z
-    pvz = dx * e2y - dy * e2x
-    det = e1x * pvx + e1y * pvy + e1z * pvz
-    degen = jnp.abs(det) < 1e-12
-    inv_det = 1.0 / jnp.where(degen, 1.0, det)
-    tvx, tvy, tvz = ox - pr[0], oy - pr[1], oz - pr[2]
-    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-    qvx = tvy * e1z - tvz * e1y
-    qvy = tvz * e1x - tvx * e1z
-    qvz = tvx * e1y - tvy * e1x
-    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-    vt = (
-        (~degen)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (tt > 1e-4)
-        & (tt < t_limit)
-    )
-    t_tri = jnp.where(vt, tt, _BIG)
-
-    return jnp.where(
-        ptype == SPHERE, t_sph, jnp.where(ptype == DISK, t_dsk, t_tri)
-    )
+    return t_best
 
 
 def _intersect_kernel(
-    n_prims, any_hit,
+    n_prims, any_hit, types, full_sph, full_disk,
     ptype_ref, w2o_ref, params_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
     t_out, idx_out,
@@ -165,7 +184,8 @@ def _intersect_kernel(
         ptype = ptype_ref[p]
         m = [w2o_ref[p, k] for k in range(12)]
         pr = [params_ref[p, k] for k in range(9)]
-        tp = _prim_test(ptype, m, pr, ox, oy, oz, dx, dy, dz, t_best)
+        tp = _prim_test(ptype, m, pr, ox, oy, oz, dx, dy, dz, t_best,
+                        types=types, full_sph=full_sph, full_disk=full_disk)
         better = tp < t_best
         return (
             jnp.where(better, tp, t_best),
@@ -217,7 +237,13 @@ def intersect_brute_pallas(prims: Primitives, o, d, t_max, interpret=False):
     smem = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM
     )
-    kernel = functools.partial(_intersect_kernel, p_cnt, False)
+    pinfo = prims.pinfo
+    kernel = functools.partial(
+        _intersect_kernel, p_cnt, False,
+        prims.types,
+        pinfo.all_full_spheres if pinfo is not None else False,
+        pinfo.all_full_disks if pinfo is not None else False,
+    )
     t, idx = pl.pallas_call(
         kernel,
         grid=grid,
