@@ -58,6 +58,19 @@ class PathConfig(NamedTuple):
     rr_start_depth: int = 3  # RR after 3 bounces (path.go:143-153)
     nee: bool = True  # next-event estimation on
     mis: bool = True  # MIS with BSDF samples hitting lights
+    # wavefront compaction: after each bounce, sort alive lanes to the
+    # front and process only ceil(alive/chunk) chunks of the next bounce.
+    # MEASURED LOSER ON TPU v5e (BENCH_NOTES.md): XLA's row scatter runs at
+    # ~84 ns/row, so moving ~100 B/lane of state costs more than the ~14
+    # ns/lane bounce it saves.  Kept (off by default) as the reference
+    # implementation of per-lane compaction and for backends with fast
+    # scatter.  Uses dynamic-trip-count loops — not reverse-mode
+    # differentiable.
+    compaction: bool = False
+    chunk_size: int = 1 << 18  # lanes per compacted chunk
+    # full-width bounce loop with early exit once every lane is dead
+    # (while_loop — forward-only; autodiff uses the static fori_loop)
+    early_exit: bool = False
 
 
 # below this primitive count the dense masked test beats lockstep BVH
@@ -399,7 +412,9 @@ def _estimate_direct(
 
 
 class PathState(NamedTuple):
-    """The wavefront: per-lane path state (SoA), the loop carry."""
+    """The wavefront: per-lane path state (SoA), the loop carry.
+
+    pixel/sample ride along so compacted chunks keep their RNG streams."""
 
     o: jnp.ndarray  # f32[N,3] current ray origin
     d: jnp.ndarray  # f32[N,3] current ray direction
@@ -409,7 +424,189 @@ class PathState(NamedTuple):
     alive: jnp.ndarray  # bool[N]
     specular: jnp.ndarray  # bool[N] last bounce was specular
     prev_bsdf_pdf: jnp.ndarray  # f32[N] pdf of the ray's BSDF sample (MIS)
-    prev_light_id: jnp.ndarray  # int32[N] emitter to exclude? (not used: -1)
+    pixel: jnp.ndarray  # uint32[N] pixel counter (RNG stream key)
+    sample: jnp.ndarray  # uint32[N] sample counter (RNG stream key)
+
+
+def _bounce_once(
+    scene: Scene, cfg: PathConfig, seed, bounce_idx, st: PathState
+) -> PathState:
+    """One path-tracing bounce over a wavefront (full-width or a compacted
+    chunk).  bounce_idx may be traced (compacted while_loop) or static."""
+    n = st.o.shape[0]
+    pixel, sample = st.pixel, st.sample
+    dim_base = DIM_BOUNCE_BASE + bounce_idx * DIMS_PER_BOUNCE
+
+    t_max = jnp.full((n,), 1e30, jnp.float32)
+    hit, t, prim_idx = _scene_intersect(scene, st.o, st.d, t_max)
+    hit = hit & st.alive
+    # detach the discrete intersection result; shading below re-derives
+    # geometry differentiably from (prim_idx, t)
+    t = jax.lax.stop_gradient(t)
+    prim_idx = jax.lax.stop_gradient(prim_idx)
+    si = isect.surface_interaction(scene.prims, hit, t, prim_idx, st.o, st.d)
+
+    # emitted radiance at hit (path.go:48-63): only when the previous
+    # bounce was specular/camera (else NEE already counted it, MIS'd
+    # below when cfg.mis)
+    le, hit_light = light_ops.le_emitted(
+        scene.lights, scene.prims.area_light_id, prim_idx, si.n, si.wo
+    )
+    is_emitter_hit = hit & (hit_light >= 0)
+    if cfg.mis and scene.n_lights > 0:
+        # MIS weight for BSDF-sampled rays that found an emitter
+        # (EstimateDirect's second branch, integrator.go:133-192)
+        l_pdf = light_ops.pdf_li(
+            scene.lights, jnp.maximum(hit_light, 0), st.o, st.d
+        )
+        # times the pick pmf of that light under the light distribution
+        # as seen from the *previous* vertex (the ray origin)
+        pick_pmf = _light_pick_pmf(scene, st.o, jnp.maximum(hit_light, 0))
+        w_bsdf = jnp.where(
+            st.specular,
+            1.0,
+            sampling.power_heuristic(1, st.prev_bsdf_pdf, 1, l_pdf * pick_pmf),
+        )
+    else:
+        w_bsdf = jnp.where(st.specular, 1.0, 0.0)
+    L = st.L + jnp.where(
+        is_emitter_hit[..., None], st.beta * le * w_bsdf[..., None], 0.0
+    )
+
+    # escaped rays: no infinite-area lights in the closed set yet ->
+    # nothing added (the reference likewise has no infinite light).
+    alive = st.alive & hit
+
+    si = _apply_bump(scene, si, scene.prims.material_id[si.prim_idx])
+    mp = _material_at(scene, si)
+    beta0 = st.beta
+    if scene.materials.sss_d is not None:
+        # BSSRDF transport (compiled out for scenes without subsurface
+        # materials): may splice si to the exit point and scale beta
+        si, mp, beta0, alive = _subsurface_transport(
+            scene, si, mp, beta0, alive, seed, pixel, sample, dim_base
+        )
+    ss, ts, ns = _shading_frame(si)
+
+    if cfg.nee:
+        L = L + beta0 * _estimate_direct(
+            scene, si, mp, ss, ts, ns, alive, seed, pixel, sample, dim_base
+        )
+
+    # BSDF sampling (path.go:91-101)
+    u_b = rng.sample_2d(seed, pixel, sample, dim_base + D_BSDF_UV)
+    u_lobe = rng.sample_1d(seed, pixel, sample, dim_base + D_BSDF_LOBE)
+    wo_l = _to_local(ss, ts, ns, si.wo)
+    bs = bsdf_ops.bsdf_sample(mp, wo_l, u_b, u_lobe)
+    wi_w = _to_world(ss, ts, ns, bs.wi)
+    wi_w = jax.lax.stop_gradient(wi_w)  # detached sampling
+    cos_term = geom.absdot(wi_w, ns)
+    ok = (bs.pdf > 1e-9) & (jnp.max(jnp.abs(bs.f), axis=-1) > 0.0)
+    beta = beta0 * jnp.where(
+        ok[..., None],
+        bs.f
+        * (cos_term / jnp.maximum(jax.lax.stop_gradient(bs.pdf), 1e-20))[..., None],
+        0.0,
+    )
+    eta_scale = st.eta_scale * bs.eta_scale
+    alive = alive & ok & (jnp.max(beta, axis=-1) > 0.0)
+
+    o_new = isect.spawn_ray(si, wi_w)
+
+    # Russian roulette (path.go:143-153)
+    rr_beta_max = jnp.max(beta * eta_scale[..., None], axis=-1)
+    q = jnp.maximum(0.05, 1.0 - rr_beta_max)
+    u_rr = rng.sample_1d(seed, pixel, sample, dim_base + D_RR)
+    do_rr = (bounce_idx >= cfg.rr_start_depth) & (rr_beta_max < cfg.rr_threshold)
+    killed = do_rr & (u_rr < q)
+    survived_scale = jnp.where(do_rr & ~killed, 1.0 / (1.0 - q), 1.0)
+    survived_scale = jax.lax.stop_gradient(survived_scale)
+    beta = beta * survived_scale[..., None]
+    alive = alive & ~killed
+
+    return PathState(
+        o=o_new,
+        d=wi_w,
+        beta=beta,
+        L=L,
+        eta_scale=eta_scale,
+        alive=alive,
+        specular=bs.is_specular,
+        prev_bsdf_pdf=jax.lax.stop_gradient(bs.pdf),
+        pixel=pixel,
+        sample=sample,
+    )
+
+
+def _where_state(mask, a: PathState, b: PathState) -> PathState:
+    def w(x, y):
+        m = mask
+        while m.ndim < x.ndim:
+            m = m[..., None]
+        return jnp.where(m, x, y)
+
+    return PathState(*(w(x, y) for x, y in zip(a, b)))
+
+
+def _li_compacted(scene: Scene, state: PathState, seed, cfg: PathConfig):
+    """Compacted bounce loop: alive lanes are argsort-compacted to the
+    front each bounce and processed in ceil(alive/C) chunks of static size
+    C — dead-lane work drops with the wavefront (RR kills >95% of lanes by
+    bounce 4 on typical scenes; full-width masking would still pay for
+    them).  Gather/scatter of the ~100B/lane state is HBM-cheap (<0.5 ms at
+    2M lanes on v5e) next to a ~30 ms full-width bounce.
+
+    The loop is a while_loop (exits when every lane is dead) over a
+    fori_loop with a *traced* trip count — fine forward, not reverse-mode
+    differentiable; use cfg.compaction=False for gradients.
+    """
+    n = state.o.shape[0]
+    c = min(cfg.chunk_size, n)
+
+    def gather(st: PathState, idx) -> PathState:
+        return PathState(*(x[idx] for x in st))
+
+    def scatter(st: PathState, idx, sub: PathState) -> PathState:
+        return PathState(
+            *(
+                x.at[idx].set(y, unique_indices=True, mode="drop")
+                for x, y in zip(st, sub)
+            )
+        )
+
+    n_pad = -(-n // c) * c
+
+    def bounce_body(carry):
+        bounce_idx, st = carry
+        # alive-first stable order; pad with out-of-bounds indices so the
+        # last chunk's gathers clamp (masked) and scatters drop
+        order = jnp.argsort(~st.alive, stable=True).astype(jnp.int32)
+        if n_pad > n:
+            order = jnp.concatenate(
+                [order, jnp.full((n_pad - n,), n, jnp.int32)]
+            )
+        m = jnp.sum(st.alive.astype(jnp.int32))
+        n_chunks = jnp.maximum((m + (c - 1)) // c, 1)
+
+        def chunk_body(i, st):
+            idx = jax.lax.dynamic_slice(order, (i * c,), (c,))
+            sub = gather(st, idx)
+            active = (i * c + jnp.arange(c, dtype=jnp.int32)) < m
+            sub_in = sub._replace(alive=sub.alive & active)
+            sub_out = _bounce_once(scene, cfg, seed, bounce_idx, sub_in)
+            # inactive slots write back their original values (no-ops)
+            sub_out = _where_state(active, sub_out, sub)
+            return scatter(st, idx, sub_out)
+
+        st = jax.lax.fori_loop(0, n_chunks, chunk_body, st)
+        return bounce_idx + 1, st
+
+    def cond(carry):
+        bounce_idx, st = carry
+        return (bounce_idx < cfg.max_depth) & jnp.any(st.alive)
+
+    _, state = jax.lax.while_loop(cond, bounce_body, (jnp.int32(0), state))
+    return state
 
 
 def li(
@@ -439,117 +636,31 @@ def li(
         alive=jnp.ones((n,), bool),
         specular=jnp.ones((n,), bool),  # camera rays count as "specular prev"
         prev_bsdf_pdf=jnp.zeros((n,), f32),
-        prev_light_id=jnp.full((n,), -1, jnp.int32),
+        pixel=jnp.broadcast_to(pixel.astype(jnp.uint32), (n,)),
+        sample=jnp.broadcast_to(sample.astype(jnp.uint32), (n,)),
     )
 
-    def bounce(bounce_idx, st: PathState) -> PathState:
-        dim_base = DIM_BOUNCE_BASE + bounce_idx * DIMS_PER_BOUNCE
+    if cfg.compaction:
+        state = _li_compacted(scene, state, seed, cfg)
+    elif cfg.early_exit:
+        # full-width bounces, but stop as soon as every lane is dead
+        # (forward-only: dynamic trip count)
+        def cond(carry):
+            i, st = carry
+            return (i < cfg.max_depth) & jnp.any(st.alive)
 
-        t_max = jnp.full((n,), 1e30, f32)
-        hit, t, prim_idx = _scene_intersect(scene, st.o, st.d, t_max)
-        hit = hit & st.alive
-        # detach the discrete intersection result; shading below re-derives
-        # geometry differentiably from (prim_idx, t)
-        t = jax.lax.stop_gradient(t)
-        prim_idx = jax.lax.stop_gradient(prim_idx)
-        si = isect.surface_interaction(scene.prims, hit, t, prim_idx, st.o, st.d)
+        def body(carry):
+            i, st = carry
+            return i + 1, _bounce_once(scene, cfg, seed, i, st)
 
-        # emitted radiance at hit (path.go:48-63): only when the previous
-        # bounce was specular/camera (else NEE already counted it, MIS'd
-        # below when cfg.mis)
-        le, hit_light = light_ops.le_emitted(
-            scene.lights, scene.prims.area_light_id, prim_idx, si.n, si.wo
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    else:
+        state = jax.lax.fori_loop(
+            0,
+            cfg.max_depth,
+            lambda i, st: _bounce_once(scene, cfg, seed, i, st),
+            state,
         )
-        is_emitter_hit = hit & (hit_light >= 0)
-        if cfg.mis and scene.n_lights > 0:
-            # MIS weight for BSDF-sampled rays that found an emitter
-            # (EstimateDirect's second branch, integrator.go:133-192)
-            l_pdf = light_ops.pdf_li(
-                scene.lights, jnp.maximum(hit_light, 0), st.o, st.d
-            )
-            # times the pick pmf of that light under the light distribution
-            # as seen from the *previous* vertex (the ray origin)
-            pick_pmf = _light_pick_pmf(
-                scene, st.o, jnp.maximum(hit_light, 0)
-            )
-            w_bsdf = jnp.where(
-                st.specular,
-                1.0,
-                sampling.power_heuristic(
-                    1, st.prev_bsdf_pdf, 1, l_pdf * pick_pmf
-                ),
-            )
-        else:
-            w_bsdf = jnp.where(st.specular, 1.0, 0.0)
-        L = st.L + jnp.where(
-            is_emitter_hit[..., None], st.beta * le * w_bsdf[..., None], 0.0
-        )
-
-        # escaped rays: no infinite-area lights in the closed set yet ->
-        # nothing added (the reference likewise has no infinite light).
-        alive = st.alive & hit
-
-        si = _apply_bump(scene, si, scene.prims.material_id[si.prim_idx])
-        mp = _material_at(scene, si)
-        beta0 = st.beta
-        if scene.materials.sss_d is not None:
-            # BSSRDF transport (compiled out for scenes without subsurface
-            # materials): may splice si to the exit point and scale beta
-            si, mp, beta0, alive = _subsurface_transport(
-                scene, si, mp, beta0, alive, seed, pixel, sample, dim_base
-            )
-        ss, ts, ns = _shading_frame(si)
-
-        if cfg.nee:
-            L = L + beta0 * _estimate_direct(
-                scene, si, mp, ss, ts, ns, alive, seed, pixel, sample, dim_base
-            )
-
-        # BSDF sampling (path.go:91-101)
-        u_b = rng.sample_2d(seed, pixel, sample, dim_base + D_BSDF_UV)
-        u_lobe = rng.sample_1d(seed, pixel, sample, dim_base + D_BSDF_LOBE)
-        wo_l = _to_local(ss, ts, ns, si.wo)
-        bs = bsdf_ops.bsdf_sample(mp, wo_l, u_b, u_lobe)
-        wi_w = _to_world(ss, ts, ns, bs.wi)
-        wi_w = jax.lax.stop_gradient(wi_w)  # detached sampling
-        cos_term = geom.absdot(wi_w, ns)
-        ok = (bs.pdf > 1e-9) & (jnp.max(jnp.abs(bs.f), axis=-1) > 0.0)
-        beta = beta0 * jnp.where(
-            ok[..., None],
-            bs.f * (cos_term / jnp.maximum(jax.lax.stop_gradient(bs.pdf), 1e-20))[..., None],
-            0.0,
-        )
-        eta_scale = st.eta_scale * bs.eta_scale
-        alive = alive & ok & (jnp.max(beta, axis=-1) > 0.0)
-
-        o_new = isect.spawn_ray(si, wi_w)
-
-        # Russian roulette (path.go:143-153)
-        rr_beta_max = jnp.max(beta * eta_scale[..., None], axis=-1)
-        q = jnp.maximum(0.05, 1.0 - rr_beta_max)
-        u_rr = rng.sample_1d(seed, pixel, sample, dim_base + D_RR)
-        do_rr = (bounce_idx >= cfg.rr_start_depth) & (
-            rr_beta_max < cfg.rr_threshold
-        )
-        killed = do_rr & (u_rr < q)
-        survived_scale = jnp.where(do_rr & ~killed, 1.0 / (1.0 - q), 1.0)
-        survived_scale = jax.lax.stop_gradient(survived_scale)
-        beta = beta * survived_scale[..., None]
-        alive = alive & ~killed
-
-        return PathState(
-            o=o_new,
-            d=wi_w,
-            beta=beta,
-            L=L,
-            eta_scale=eta_scale,
-            alive=alive,
-            specular=bs.is_specular,
-            prev_bsdf_pdf=jax.lax.stop_gradient(bs.pdf),
-            prev_light_id=jnp.full((n,), -1, jnp.int32),
-        )
-
-    state = jax.lax.fori_loop(0, cfg.max_depth, bounce, state)
 
     # NaN/Inf sanitization (renderWorker, integrator.go:256-262 — but we
     # replace with zero rather than sentinel gray)
@@ -583,7 +694,8 @@ def li_direct(
         beta=jnp.ones((n, 3), f32), L=jnp.zeros((n, 3), f32),
         eta_scale=jnp.ones((n,), f32), alive=jnp.ones((n,), bool),
         specular=jnp.ones((n,), bool), prev_bsdf_pdf=jnp.zeros((n,), f32),
-        prev_light_id=jnp.full((n,), -1, jnp.int32),
+        pixel=jnp.broadcast_to(pixel.astype(jnp.uint32), (n,)),
+        sample=jnp.broadcast_to(sample.astype(jnp.uint32), (n,)),
     )
 
     def bounce(bounce_idx, st):
@@ -625,7 +737,7 @@ def li_direct(
             o=isect.spawn_ray(si, wi_w), d=wi_w, beta=beta, L=L,
             eta_scale=st.eta_scale, alive=alive & ok,
             specular=jnp.ones((n,), bool), prev_bsdf_pdf=bs.pdf,
-            prev_light_id=jnp.full((n,), -1, jnp.int32),
+            pixel=st.pixel, sample=st.sample,
         )
 
     state = jax.lax.fori_loop(0, max_depth, bounce, state)

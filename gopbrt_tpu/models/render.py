@@ -44,6 +44,11 @@ class RenderSettings(NamedTuple):
     sampler: str = "stratified"
     filter: Filter = box_filter(1.0)
     samples_per_pass: int = 1  # spp folded into one device launch
+    # wavefront compaction in the path integrator (see PathConfig).
+    # Measured 19x SLOWER on TPU v5e (XLA row-scatter cost, BENCH_NOTES.md)
+    # — off by default; kept for backends with fast scatter.  Its
+    # dynamic-trip-count loops are also not reverse-mode differentiable.
+    compaction: bool = False
     # wavefront chunk: pixels per launch segment inside a pass.  Bounds the
     # peak HBM footprint of the bounce loop's carried state (the analogue of
     # the reference's 16px tiles, integrator.go:297-299 — but chunked for
@@ -105,7 +110,8 @@ def render_wave(
         )
     else:
         cfg = integrators.PathConfig(
-            max_depth=settings.max_depth, rr_threshold=settings.rr_threshold
+            max_depth=settings.max_depth, rr_threshold=settings.rr_threshold,
+            compaction=settings.compaction,
         )
         L = integrators.li(scene, o, d, pixel_idx, sample_idx, seed, cfg)
     return film_mod.add_samples(film, p_film, L, settings.filter)
@@ -143,7 +149,8 @@ def render_wave_rows(
         )
     else:
         cfg = integrators.PathConfig(
-            max_depth=settings.max_depth, rr_threshold=settings.rr_threshold
+            max_depth=settings.max_depth, rr_threshold=settings.rr_threshold,
+            compaction=settings.compaction,
         )
         L = integrators.li(scene, o, d, pixel_idx, sample_flat, seed, cfg)
     return film_mod.add_samples_rows(

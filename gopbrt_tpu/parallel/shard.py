@@ -139,6 +139,9 @@ def make_train_step(
     """
     n_data = mesh.shape["data"]
     band_rows = -(-settings.height // n_data)
+    # reverse-mode AD cannot unroll the compacted integrator's dynamic
+    # while_loop — force the static fori_loop path (identical radiometry)
+    settings = settings._replace(compaction=False)
 
     def local_loss(params, target, row0, s_idx):
         scene = param_to_scene(params)

@@ -156,6 +156,7 @@ class TestSubsurfaceEndToEnd:
         settings = render_mod.RenderSettings(
             width=16, height=16, spp=2, max_depth=3, integrator="path",
             samples_per_pass=2, chunk_pixels=0,
+            compaction=False,  # reverse-mode AD needs the static bounce loop
         )
         camera = _camera(settings.width, settings.height, (0.0, 1.5, 4.5), (0.0, 0.8, 0.0), 45.0)
 

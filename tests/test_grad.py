@@ -31,7 +31,8 @@ def render_linear(scene, cam, settings):
 
 
 SETTINGS = render_mod.RenderSettings(
-    width=12, height=12, spp=4, max_depth=2, samples_per_pass=4
+    width=12, height=12, spp=4, max_depth=2, samples_per_pass=4,
+    compaction=False,  # reverse-mode AD needs the static bounce loop
 )
 CAM = cam_mod.perspective_camera(
     geom.look_at([0.0, 5.0, 1e-3], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0]),

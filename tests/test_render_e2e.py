@@ -178,3 +178,36 @@ class TestDemoScene:
         assert lit.size > 50
         # bimodal floor: bright and dark checker tiles both present
         assert (lit > np.median(lit) * 1.5).any() or (lit < np.median(lit) * 0.6).any()
+
+
+class TestCompaction:
+    """The compacted bounce loop (PathConfig.compaction) must be
+    radiometrically identical to the static full-width fori_loop — same
+    RNG streams per lane, same per-lane math, only the execution order
+    differs."""
+
+    def test_compacted_equals_fullwidth_multichunk(self):
+        import jax.numpy as jnp
+        from gopbrt_tpu.models import camera as cam_mod
+        from gopbrt_tpu.models import integrators as I
+        from gopbrt_tpu.models import render as render_mod
+        from gopbrt_tpu.models.demo import build_demo_camera, build_demo_scene
+
+        scene = build_demo_scene()
+        cam = build_demo_camera(96, 54)
+        n = 96 * 54
+        settings = render_mod.RenderSettings(width=96, height=54, spp=1, max_depth=10)
+        pix = jnp.arange(n, dtype=jnp.uint32)
+        smp = jnp.zeros((n,), jnp.uint32)
+        seed = jnp.uint32(0)
+        p_film, u_lens = render_mod.camera_samples(settings, pix, smp, seed)
+        o, d = cam_mod.generate_rays(cam, p_film, u_lens)
+
+        # chunk_size that does NOT divide n: exercises the out-of-bounds
+        # padding (gather-clamp / scatter-drop) path
+        cfg_on = I.PathConfig(max_depth=10, compaction=True, chunk_size=1000)
+        cfg_off = I.PathConfig(max_depth=10, compaction=False)
+        L_on = np.asarray(I.li(scene, o, d, pix, smp, seed, cfg_on))
+        L_off = np.asarray(I.li(scene, o, d, pix, smp, seed, cfg_off))
+        assert np.all(np.isfinite(L_on))
+        np.testing.assert_allclose(L_on, L_off, atol=1e-5)

@@ -33,7 +33,8 @@ CAM = cam_mod.perspective_camera(
     16, 16, fov_deg=45.0,
 )
 SETTINGS = render_mod.RenderSettings(
-    width=16, height=16, spp=2, max_depth=2, samples_per_pass=1
+    width=16, height=16, spp=2, max_depth=2, samples_per_pass=1,
+    compaction=False,  # shared by the gradient tests: static bounce loop
 )
 
 
