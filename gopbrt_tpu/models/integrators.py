@@ -267,6 +267,17 @@ def _subsurface_transport(
       4. failed probes die (small documented energy loss instead of
          resampling — keeps the loop single-pass).
 
+    KNOWN APPROXIMATION (first-hit probe): PBRT's Sample_Sp enumerates
+    every intersection along the probe chord and picks one uniformly
+    (weighting Sp by the count) so the realized exit density matches
+    Pdf_Sp exactly.  This wavefront version keeps only the FIRST chord
+    intersection, which biases the estimator beyond the energy loss of
+    step 4: exit points on the far side of folds are unreachable, yet
+    pdf_sp still assigns them density from all three projection axes.
+    The bias is small for convex/thin geometry (single-sheet chords, the
+    common case for SSS) and is accepted to keep the transport
+    single-launch; a bounded K-segment probe chain is the upgrade path.
+
     Returns (si, mp, beta, alive) with subsurface lanes rewritten.
     """
     from gopbrt_tpu.ops import bssrdf as sss_ops

@@ -209,7 +209,7 @@ def render(
 
     Returns the developed image f32[H,W,3] in [0,1] (normalized + sRGB).
     Counterpart of the whole Render->WriteImage pipeline
-    (integrator.go:291-350), minus PNG encoding (utils/image.py).
+    (integrator.go:291-350), minus PNG encoding (models/film.write_png).
 
     checkpoint_path: when set, the accumulated film + pass counter are saved
     atomically every ``checkpoint_every`` passes and the render *resumes*

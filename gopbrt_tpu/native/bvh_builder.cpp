@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <future>
+#include <limits>
 #include <thread>
 #include <vector>
 
@@ -268,8 +269,10 @@ int32_t emit_lbvh(const Ctx& c, Arena& a, int32_t* ids,
   return node;
 }
 
-// upper SAH over treelet roots (bvh.go:550-630): plain recursive SAH
-// with the roots as "primitives"
+// upper SAH over treelet roots (bvh.go:550-630): recursive 12-bucket
+// binned SAH with the treelet roots as "primitives" (bucket fill + cost
+// sweep mirroring bvh.go:578-616); degenerate splits (all roots in one
+// bucket) fall back to a median partition.
 int32_t build_upper(const Ctx& c, Arena& a, std::vector<int32_t>& roots,
                     int64_t s, int64_t e) {
   if (e - s == 1) return roots[s];
@@ -290,14 +293,72 @@ int32_t build_upper(const Ctx& c, Arena& a, std::vector<int32_t>& roots,
   if (ext[1] > ext[axis]) axis = 1;
   if (ext[2] > ext[axis]) axis = 2;
   nd.axis = axis;
-  int64_t mid = s + (e - s) / 2;
-  std::nth_element(roots.begin() + s, roots.begin() + mid, roots.begin() + e,
-                   [&](int32_t x, int32_t y) {
-                     const Node& nx = a.nodes[x];
-                     const Node& ny = a.nodes[y];
-                     return nx.lo[axis] + nx.hi[axis] <
-                            ny.lo[axis] + ny.hi[axis];
-                   });
+
+  constexpr int kBuckets = 12;
+  auto centroid = [&](int32_t root) {
+    const Node& rn = a.nodes[root];
+    return 0.5f * (rn.lo[axis] + rn.hi[axis]);
+  };
+  auto bucket_of = [&](int32_t root) {
+    float rel = (centroid(root) - clo[axis]) /
+                (ext[axis] > 0.f ? ext[axis] : 1.f);
+    int b = static_cast<int>(kBuckets * rel);
+    return b < 0 ? 0 : (b >= kBuckets ? kBuckets - 1 : b);
+  };
+  struct Bucket {
+    int64_t count = 0;
+    float lo[3], hi[3];
+  };
+  Bucket buckets[kBuckets];
+  for (auto& b : buckets) init_bounds(b.lo, b.hi);
+  for (int64_t i = s; i < e; ++i) {
+    Bucket& b = buckets[bucket_of(roots[i])];
+    b.count++;
+    const Node& rn = a.nodes[roots[i]];
+    grow(b.lo, b.hi, rn.lo, rn.hi);
+  }
+  // SAH cost of splitting after bucket k: area-weighted child counts
+  float best_cost = std::numeric_limits<float>::max();
+  int best_split = -1;
+  for (int k = 0; k < kBuckets - 1; ++k) {
+    float llo[3], lhi[3], rlo[3], rhi[3];
+    init_bounds(llo, lhi);
+    init_bounds(rlo, rhi);
+    int64_t nl = 0, nr = 0;
+    for (int j = 0; j <= k; ++j)
+      if (buckets[j].count) {
+        nl += buckets[j].count;
+        grow(llo, lhi, buckets[j].lo, buckets[j].hi);
+      }
+    for (int j = k + 1; j < kBuckets; ++j)
+      if (buckets[j].count) {
+        nr += buckets[j].count;
+        grow(rlo, rhi, buckets[j].lo, buckets[j].hi);
+      }
+    if (nl == 0 || nr == 0) continue;
+    float cost = 0.125f + (nl * surface_area(llo, lhi) +
+                           nr * surface_area(rlo, rhi)) /
+                              surface_area(nd.lo, nd.hi);
+    if (cost < best_cost) {
+      best_cost = cost;
+      best_split = k;
+    }
+  }
+  int64_t mid;
+  if (best_split >= 0) {
+    auto it = std::partition(roots.begin() + s, roots.begin() + e,
+                             [&](int32_t x) {
+                               return bucket_of(x) <= best_split;
+                             });
+    mid = it - roots.begin();
+  } else {
+    // every root landed in one bucket: median fallback
+    mid = s + (e - s) / 2;
+    std::nth_element(roots.begin() + s, roots.begin() + mid,
+                     roots.begin() + e, [&](int32_t x, int32_t y) {
+                       return centroid(x) < centroid(y);
+                     });
+  }
   int32_t l = build_upper(c, a, roots, s, mid);
   int32_t r = build_upper(c, a, roots, mid, e);
   Node& nd2 = a.nodes[node];

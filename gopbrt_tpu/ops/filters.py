@@ -55,12 +55,8 @@ def lanczos_filter(radius: float = 4.0, tau: float = 3.0) -> Filter:
 
 
 def _mitchell_1d(x, b, c):
+    """Mitchell–Netravali piecewise cubic over |2x| (PBRT 7.1.4)."""
     x = jnp.abs(2.0 * x)
-    inner = (
-        (-12 + 9 * b + 6 * c) * x**3
-        + (18 - 15 * b - 10 * c) * x**2  # note: coefficient form below
-    )
-    # full Mitchell–Netravali piecewise polynomial
     p1 = ((12 - 9 * b - 6 * c) * x**3 + (-18 + 12 * b + 6 * c) * x**2
           + (6 - 2 * b)) * (1.0 / 6.0)
     p2 = ((-b - 6 * c) * x**3 + (6 * b + 30 * c) * x**2

@@ -254,10 +254,18 @@ def pdf_li(lights: Lights, idx, ref_p, wi) -> jnp.ndarray:
     pdf_sphere = jnp.where(
         outside & in_cone, uniform_cone_pdf(jnp.minimum(cos_tmax, 1.0 - 1e-7)), 0.0
     )
-    # inside the sphere: area-converted pdf along wi — needs the hit point;
-    # approximate with the cone complement (rare case; exact for demo scenes
-    # where cameras/shading points sit outside light spheres).
-    pdf_sphere = jnp.where(outside, pdf_sphere, 1.0 / (4.0 * PI))
+    # inside the sphere: uniform-area sampling converted to solid angle
+    # along wi (Shape.PdfWi, shape.go:29-47).  A ray from inside always
+    # hits; solve |oc + t wi|^2 = r^2 for the forward root analytically.
+    oc = ref_p - center
+    b_half = dot(oc, wi)
+    disc_in = jnp.maximum(radius * radius - (length_sq(oc) - b_half * b_half), 0.0)
+    t_hit = -b_half + jnp.sqrt(disc_in)
+    n_hit = normalize(oc + wi * t_hit[..., None], eps=1e-20)
+    cos_hit = jnp.abs(dot(n_hit, wi))
+    area_sph = 4.0 * PI * radius * radius
+    pdf_inside = (t_hit * t_hit) / jnp.maximum(cos_hit * area_sph, 1e-12)
+    pdf_sphere = jnp.where(outside, pdf_sphere, pdf_inside)
 
     # disk emitter: intersect the disk plane along wi, convert area pdf
     oo = geom.apply_point_affine(w2o, ref_p)

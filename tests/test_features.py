@@ -333,3 +333,32 @@ class TestCheckpoint:
         render_mod._save_checkpoint(ck, s1, film, 2)
         assert render_mod._load_checkpoint(ck, s2) is None
         assert render_mod._load_checkpoint(ck, s1) is not None
+
+
+class TestInsideSpherePdf:
+    def test_pdf_li_from_inside_integrates_to_one(self):
+        """pdf_li from a point INSIDE a sphere emitter is the exact
+        area->solid-angle conversion (Shape.PdfWi, shape.go:29-47), not the
+        old 1/4pi approximation: it must integrate to 1 over directions."""
+        import math
+
+        b = SceneBuilder()
+        m = b.matte()
+        pid = b.sphere(np.eye(4), 2.0, m)
+        b.area_light(pid, (1, 1, 1))
+        sc = b.build(accelerator="none")
+        rngr = np.random.default_rng(0)
+        v = rngr.normal(size=(50000, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        wi = jnp.asarray(v, jnp.float32)
+        ref = jnp.broadcast_to(
+            jnp.asarray([0.5, -0.3, 0.2], jnp.float32), wi.shape
+        )
+        pdf = light_ops.pdf_li(
+            sc.lights, jnp.zeros((wi.shape[0],), jnp.int32), ref, wi
+        )
+        integral = float(jnp.mean(pdf)) * 4.0 * math.pi
+        assert abs(integral - 1.0) < 0.02
+        # and every direction has positive density (a full sphere surrounds
+        # any interior point)
+        assert float(jnp.min(pdf)) > 0.0
