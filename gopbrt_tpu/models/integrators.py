@@ -39,7 +39,7 @@ from gopbrt_tpu.models.scene import Scene
 # dims 0-4 are consumed by the camera (pixel jitter x2, lens x2, time);
 # each bounce consumes a fixed stride of dimensions.
 DIM_CAMERA = 0
-DIMS_PER_BOUNCE = 12
+DIMS_PER_BOUNCE = 16
 DIM_BOUNCE_BASE = 5
 # within a bounce:
 D_LIGHT_PICK = 0
@@ -48,6 +48,8 @@ D_BSDF_UV = 3  # +2
 D_BSDF_LOBE = 5
 D_RR = 6
 D_SSS = 7  # +4: entry Fresnel, probe axis, channel+radius, azimuth
+D_MEDIUM = 11  # +2: channel pick, distance
+D_PHASE = 13  # +2: HG cos-theta, azimuth
 
 
 class PathConfig(NamedTuple):
@@ -363,7 +365,8 @@ def _to_world(ss, ts, ns, v):
 
 
 def _estimate_direct(
-    scene: Scene, si, mp, ss, ts, ns, active, seed, pixel, sample, dim_base
+    scene: Scene, si, mp, ss, ts, ns, active, seed, pixel, sample, dim_base,
+    medium_scatter=None,
 ):
     """One-light NEE with MIS — UniformSampleOneLight + EstimateDirect
     (integrator.go:48-77, 79-195) over the wavefront.
@@ -373,6 +376,12 @@ def _estimate_direct(
     handled in the main loop when a scattered ray hits an emitter
     (hit-is-light MIS weighting), which is the wavefront-friendly split:
     both estimators are still combined with the power heuristic.
+
+    medium_scatter: bool[N] lanes whose vertex is a medium in-scatter
+    event — their "BSDF" is the HG phase function (handleMedia branch of
+    EstimateDirect, integrator.go:110-117; si.wo points back along the
+    ray).  When scene.medium is set, every shadow ray is also attenuated
+    by Beer-Lambert transmittance (VisibilityTester.Tr, light.go:50-73).
     """
     n_lights = scene.n_lights
     if n_lights == 0:
@@ -392,6 +401,14 @@ def _estimate_direct(
     wi_l = _to_local(ss, ts, ns, ls.wi)
     f = bsdf_ops.bsdf_f(mp, wo_l, wi_l) * geom.absdot(ls.wi, ns)[..., None]
     b_pdf = bsdf_ops.bsdf_pdf(mp, wo_l, wi_l)
+    if medium_scatter is not None:
+        from gopbrt_tpu.ops import media as media_ops
+
+        # phase function in place of f·cos; pdf equals the phase value
+        # (HG importance-samples itself exactly)
+        ph = media_ops.hg_phase(dot(si.wo, ls.wi), scene.medium.g)
+        f = jnp.where(medium_scatter[..., None], ph[..., None], f)
+        b_pdf = jnp.where(medium_scatter, ph, b_pdf)
 
     contributes = (
         active
@@ -403,6 +420,9 @@ def _estimate_direct(
     # shadow ray (VisibilityTester.Unoccluded, light.go:46-48): offset both
     # endpoints; t_max slightly short of the light (interaction.go:85,98)
     o_sh = isect.spawn_ray(si, ls.wi)
+    if medium_scatter is not None:
+        # medium vertices have no surface to offset from
+        o_sh = jnp.where(medium_scatter[..., None], si.p, o_sh)
     t_sh = ls.dist * (1.0 - geom.SHADOW_EPSILON) - 1e-3
     occluded = _scene_intersect_p(scene, o_sh, ls.wi, jnp.maximum(t_sh, 1e-4))
     vis = contributes & ~occluded
@@ -419,6 +439,11 @@ def _estimate_direct(
             ..., None
         ]
     )
+    if scene.medium is not None:
+        from gopbrt_tpu.ops import media as media_ops
+
+        # VisibilityTester.Tr: Beer-Lambert along the unoccluded shadow ray
+        contrib = contrib * media_ops.transmittance(scene.medium, ls.dist)
     return jnp.where(vis[..., None], contrib, 0.0)
 
 
@@ -457,6 +482,40 @@ def _bounce_once(
     prim_idx = jax.lax.stop_gradient(prim_idx)
     si = isect.surface_interaction(scene.prims, hit, t, prim_idx, st.o, st.d)
 
+    # participating medium (compiled out when scene.medium is None): sample
+    # a scatter distance against the surface hit — HomogeneousMedium.Sample
+    # semantics with single-channel pick + spectral MIS over channels.
+    # Lanes that scatter before the surface become HG phase vertices; all
+    # lanes pay Beer-Lambert transmittance for the traversed segment.
+    med = scene.medium
+    scatter = None
+    if med is not None:
+        from gopbrt_tpu.ops import media as media_ops
+
+        sig_t = med.sigma_t  # f32[3]
+        u_mc = rng.sample_2d(seed, pixel, sample, dim_base + D_MEDIUM)
+        ch = jnp.minimum((u_mc[..., 0] * 3.0).astype(jnp.int32), 2)
+        st_ch = sig_t[ch]
+        t_m = -jnp.log(jnp.maximum(1.0 - u_mc[..., 1], 1e-7)) / jnp.maximum(
+            st_ch, 1e-20
+        )
+        t_m = jax.lax.stop_gradient(t_m)  # detached discrete distance
+        seg = jnp.where(hit, t, jnp.float32(1e8))
+        scatter = st.alive & (t_m < seg)
+        t_used = jnp.minimum(t_m, seg)
+        tr = jnp.exp(-sig_t * t_used[..., None])  # f32[N,3]
+        pdf_scat = jnp.mean(sig_t * tr, axis=-1)
+        pdf_surf = jnp.mean(tr, axis=-1)
+        w_med = jnp.where(
+            scatter[..., None],
+            tr * med.sigma_s / jnp.maximum(pdf_scat, 1e-20)[..., None],
+            tr / jnp.maximum(pdf_surf, 1e-20)[..., None],
+        )
+        beta_in = st.beta * w_med
+        p_med = st.o + st.d * t_m[..., None]
+    else:
+        beta_in = st.beta
+
     # emitted radiance at hit (path.go:48-63): only when the previous
     # bounce was specular/camera (else NEE already counted it, MIS'd
     # below when cfg.mis)
@@ -464,6 +523,8 @@ def _bounce_once(
         scene.lights, scene.prims.area_light_id, prim_idx, si.n, si.wo
     )
     is_emitter_hit = hit & (hit_light >= 0)
+    if scatter is not None:
+        is_emitter_hit = is_emitter_hit & ~scatter
     if cfg.mis and scene.n_lights > 0:
         # MIS weight for BSDF-sampled rays that found an emitter
         # (EstimateDirect's second branch, integrator.go:133-192)
@@ -481,16 +542,36 @@ def _bounce_once(
     else:
         w_bsdf = jnp.where(st.specular, 1.0, 0.0)
     L = st.L + jnp.where(
-        is_emitter_hit[..., None], st.beta * le * w_bsdf[..., None], 0.0
+        is_emitter_hit[..., None], beta_in * le * w_bsdf[..., None], 0.0
     )
 
     # escaped rays: no infinite-area lights in the closed set yet ->
     # nothing added (the reference likewise has no infinite light).
-    alive = st.alive & hit
+    # Medium scatter events keep their lane alive even without a hit.
+    alive = st.alive & (hit if scatter is None else (hit | scatter))
 
     si = _apply_bump(scene, si, scene.prims.material_id[si.prim_idx])
     mp = _material_at(scene, si)
-    beta0 = st.beta
+    if scatter is not None:
+        # splice medium vertices into the wavefront: position at the
+        # scatter point, frame facing back along the ray (MediumInteraction,
+        # interaction.go:299-307); neutralize the junk material gather so
+        # no surface lobe logic (specular flags, eta) fires on them
+        back = -st.d
+        si_med = si._replace(
+            p=p_med,
+            p_err=jnp.zeros_like(si.p_err),
+            n=back,
+            ns=back,
+            wo=back,
+            dpdu=jnp.zeros_like(si.dpdu),
+            dpdv=jnp.zeros_like(si.dpdv),
+        )
+        si = _where_si(scatter, si_med, si)
+        mp = mp._replace(
+            mat_type=jnp.where(scatter, bsdf_ops.MATTE, mp.mat_type)
+        )
+    beta0 = beta_in
     if scene.materials.sss_d is not None:
         # BSSRDF transport (compiled out for scenes without subsurface
         # materials): may splice si to the exit point and scale beta
@@ -501,7 +582,8 @@ def _bounce_once(
 
     if cfg.nee:
         L = L + beta0 * _estimate_direct(
-            scene, si, mp, ss, ts, ns, alive, seed, pixel, sample, dim_base
+            scene, si, mp, ss, ts, ns, alive, seed, pixel, sample, dim_base,
+            medium_scatter=scatter,
         )
 
     # BSDF sampling (path.go:91-101)
@@ -519,10 +601,37 @@ def _bounce_once(
         * (cos_term / jnp.maximum(jax.lax.stop_gradient(bs.pdf), 1e-20))[..., None],
         0.0,
     )
+    next_pdf = bs.pdf
+    next_specular = bs.is_specular
+    if scatter is not None:
+        # medium lanes continue along an HG-sampled direction
+        # (PhaseFunction.SampleP, interaction.go:319-331): f == pdf, so the
+        # throughput factor is exactly 1
+        from gopbrt_tpu.ops import media as media_ops
+
+        u_ph = rng.sample_2d(seed, pixel, sample, dim_base + D_PHASE)
+        cos_t = media_ops.hg_sample(u_ph[..., 0], med.g)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi = 2.0 * geom.PI * u_ph[..., 1]
+        vx, vy = geom.coordinate_system(si.wo)
+        wi_m = (
+            vx * (sin_t * jnp.cos(phi))[..., None]
+            + vy * (sin_t * jnp.sin(phi))[..., None]
+            + si.wo * cos_t[..., None]
+        )
+        wi_m = jax.lax.stop_gradient(wi_m)
+        ph_pdf = media_ops.hg_phase(cos_t, med.g)
+        wi_w = jnp.where(scatter[..., None], wi_m, wi_w)
+        ok = ok | scatter
+        beta = jnp.where(scatter[..., None], beta0, beta)
+        next_pdf = jnp.where(scatter, ph_pdf, next_pdf)
+        next_specular = next_specular & ~scatter
     eta_scale = st.eta_scale * bs.eta_scale
     alive = alive & ok & (jnp.max(beta, axis=-1) > 0.0)
 
     o_new = isect.spawn_ray(si, wi_w)
+    if scatter is not None:
+        o_new = jnp.where(scatter[..., None], si.p, o_new)
 
     # Russian roulette (path.go:143-153)
     rr_beta_max = jnp.max(beta * eta_scale[..., None], axis=-1)
@@ -542,8 +651,8 @@ def _bounce_once(
         L=L,
         eta_scale=eta_scale,
         alive=alive,
-        specular=bs.is_specular,
-        prev_bsdf_pdf=jax.lax.stop_gradient(bs.pdf),
+        specular=next_specular,
+        prev_bsdf_pdf=jax.lax.stop_gradient(next_pdf),
         pixel=pixel,
         sample=sample,
     )

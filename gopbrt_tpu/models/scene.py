@@ -102,6 +102,14 @@ class Scene(NamedTuple):
     world_radius: jnp.ndarray  # f32[]
     bvh: Optional["object"] = None  # ops.bvh.LinearBVH, attached by build()
     light_grid: Optional[LightGrid] = None  # spatial strategy only
+    # global participating medium (the "camera medium"): when set, the path
+    # integrator runs full volumetric transport — distance-sampled HG
+    # in-scatter vertices + Beer-Lambert Tr on every NEE shadow ray (the
+    # working version of Scene.IntersectTr / VisibilityTester.Tr,
+    # scene.go:58-77 / light.go:50-73, which the reference plumbs but can
+    # never exercise: it ships no concrete Medium).  None compiles all
+    # medium code out of the integrator.
+    medium: Optional["object"] = None  # ops.media.HomogeneousMedium
 
     @property
     def n_lights(self) -> int:
@@ -118,6 +126,8 @@ class SceneBuilder:
     """
 
     light_strategy: str = "uniform"  # or "power" (lightdistribution.go:3-9)
+
+    _medium: Optional[tuple] = None  # (sigma_a, sigma_s, g)
 
     _prim_type: list = field(default_factory=list)
     _o2w: list = field(default_factory=list)
@@ -298,6 +308,18 @@ class SceneBuilder:
             )
         return ids
 
+    # --- media ------------------------------------------------------------
+
+    def set_medium(self, sigma_a, sigma_s=(0.0, 0.0, 0.0), g: float = 0.0):
+        """Attach a global homogeneous medium (fog) filling the scene.
+
+        The reference declares Medium{Tr, Sample} (medium.go:5-25) and the
+        transmittance plumbing (scene.go:58-77, light.go:50-73) but ships no
+        concrete medium; this is the working equivalent: Beer-Lambert
+        absorption+out-scatter on every path and shadow segment, and HG
+        in-scattering vertices when sigma_s > 0."""
+        self._medium = (_rgb(sigma_a), _rgb(sigma_s), float(g))
+
     # --- lights -----------------------------------------------------------
 
     def point_light(self, p, intensity) -> int:
@@ -473,6 +495,16 @@ class SceneBuilder:
         light_grid = None
         if self.light_strategy == "spatial" and self._lights:
             light_grid = self._build_light_grid(lo, hi)
+        medium = None
+        if self._medium is not None:
+            from gopbrt_tpu.ops.media import HomogeneousMedium
+
+            sa, ss, g = self._medium
+            medium = HomogeneousMedium(
+                sigma_a=jnp.asarray(sa, jnp.float32),
+                sigma_s=jnp.asarray(ss, jnp.float32),
+                g=jnp.asarray(g, jnp.float32),
+            )
         scene = Scene(
             prims=prims,
             materials=mats,
@@ -485,6 +517,7 @@ class SceneBuilder:
             world_radius=jnp.asarray(radius, jnp.float32),
             bvh=None,
             light_grid=light_grid,
+            medium=medium,
         )
         if accelerator == "bvh" and n > 4:
             from gopbrt_tpu.ops import bvh as bvh_mod
