@@ -495,10 +495,7 @@ def _bounce_once(
         sig_t = med.sigma_t  # f32[3]
         u_mc = rng.sample_2d(seed, pixel, sample, dim_base + D_MEDIUM)
         ch = jnp.minimum((u_mc[..., 0] * 3.0).astype(jnp.int32), 2)
-        st_ch = sig_t[ch]
-        t_m = -jnp.log(jnp.maximum(1.0 - u_mc[..., 1], 1e-7)) / jnp.maximum(
-            st_ch, 1e-20
-        )
+        t_m = media_ops.sample_distance(med, u_mc[..., 1], ch)
         t_m = jax.lax.stop_gradient(t_m)  # detached discrete distance
         seg = jnp.where(hit, t, jnp.float32(1e8))
         scatter = st.alive & (t_m < seg)
@@ -610,17 +607,8 @@ def _bounce_once(
         from gopbrt_tpu.ops import media as media_ops
 
         u_ph = rng.sample_2d(seed, pixel, sample, dim_base + D_PHASE)
-        cos_t = media_ops.hg_sample(u_ph[..., 0], med.g)
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-        phi = 2.0 * geom.PI * u_ph[..., 1]
-        vx, vy = geom.coordinate_system(si.wo)
-        wi_m = (
-            vx * (sin_t * jnp.cos(phi))[..., None]
-            + vy * (sin_t * jnp.sin(phi))[..., None]
-            + si.wo * cos_t[..., None]
-        )
+        wi_m, ph_pdf = media_ops.sample_phase(si.wo, u_ph, med.g)
         wi_m = jax.lax.stop_gradient(wi_m)
-        ph_pdf = media_ops.hg_phase(cos_t, med.g)
         wi_w = jnp.where(scatter[..., None], wi_m, wi_w)
         ok = ok | scatter
         beta = jnp.where(scatter[..., None], beta0, beta)
@@ -824,6 +812,16 @@ def li_direct(
         hit, t, prim_idx = _scene_intersect(scene, st.o, st.d, t_max)
         hit = hit & st.alive
         si = isect.surface_interaction(scene.prims, hit, t, prim_idx, st.o, st.d)
+        if scene.medium is not None:
+            # absorption-only medium handling: Beer-Lambert Tr on every
+            # camera/specular segment (matching the shadow-ray Tr applied in
+            # _estimate_direct), but NO in-scatter vertices — by definition
+            # the direct-lighting integrator ignores multiple scattering
+            # (ADVICE r2 #2: previously only shadow rays were attenuated)
+            from gopbrt_tpu.ops import media as media_ops
+
+            tr_seg = media_ops.transmittance(scene.medium, jnp.where(hit, t, 0.0))
+            st = st._replace(beta=st.beta * tr_seg)
         le, hit_light = light_ops.le_emitted(
             scene.lights, scene.prims.area_light_id, prim_idx, si.n, si.wo
         )

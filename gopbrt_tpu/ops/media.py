@@ -40,10 +40,11 @@ def transmittance(medium: HomogeneousMedium, dist: jnp.ndarray) -> jnp.ndarray:
 
 def sample_distance(medium: HomogeneousMedium, u: jnp.ndarray, channel: jnp.ndarray):
     """Sample a scattering distance ~ sigma_t exp(-sigma_t d) on the chosen
-    RGB channel (Medium.Sample).  Returns (t, pdf-weighted throughput is
-    handled by the caller via MIS over channels)."""
+    RGB channel (Medium.Sample).  Returns t; the spectral channel-MIS
+    throughput weight is the caller's job (integrators._bounce_once).
+    The single home of the distance-sampling clamps."""
     st = medium.sigma_t[channel]
-    return -jnp.log(jnp.maximum(1.0 - u, 1e-10)) / jnp.maximum(st, 1e-10)
+    return -jnp.log(jnp.maximum(1.0 - u, 1e-7)) / jnp.maximum(st, 1e-20)
 
 
 def hg_phase(cos_theta: jnp.ndarray, g) -> jnp.ndarray:
@@ -55,7 +56,11 @@ def hg_phase(cos_theta: jnp.ndarray, g) -> jnp.ndarray:
 
 
 def hg_sample(u: jnp.ndarray, g) -> jnp.ndarray:
-    """Sample cosθ ~ HG (interaction.go:319-331 SampleP)."""
+    """Sample cosθ ~ HG where θ is measured from the PROPAGATION direction
+    (-wo): E[cosθ] = g, forward scattering for g > 0.  NOTE the convention:
+    ``hg_phase`` takes dot(wo, wi) (PBRT PhaseHG, interaction.go:309-317),
+    whose mean is -g — callers building wi in a frame around wo must negate
+    this cosine (see ``sample_phase``)."""
     g = jnp.asarray(g)
     iso = jnp.abs(g) < 1e-3
     cos_iso = 1.0 - 2.0 * u
@@ -63,3 +68,31 @@ def hg_sample(u: jnp.ndarray, g) -> jnp.ndarray:
     two_g = jnp.where(jnp.abs(g) < 5e-4, 1e-3, 2.0 * g)  # sign-preserving
     cos_hg = (1.0 + g * g - sq * sq) / two_g
     return jnp.where(iso, cos_iso, jnp.clip(cos_hg, -1.0, 1.0))
+
+
+def sample_phase(wo: jnp.ndarray, u2: jnp.ndarray, g):
+    """Sample a scattered direction from the HG phase function at a medium
+    vertex (PhaseFunction.SampleP, interaction.go:319-331).
+
+    wo[..., 3] points BACK along the incoming ray (toward the previous
+    vertex, PBRT convention).  Returns (wi, pdf) with wi[..., 3] the new
+    propagation direction and pdf == hg_phase(dot(wo, wi), g) — HG
+    importance-samples itself exactly, so f/pdf == 1.
+
+    Forward scattering (g > 0) concentrates wi around -wo (the ray keeps
+    going); this is the fix for the round-2 mirror-flip (ADVICE r2 #1):
+    dot(wo, wi) must follow hg_phase(., g), whose mean is -g, so the
+    propagation-frame cosine from ``hg_sample`` is negated here.
+    """
+    from gopbrt_tpu.ops import geom
+
+    cos_t = -hg_sample(u2[..., 0], g)  # distributed as hg_phase(., g)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * PI * u2[..., 1]
+    vx, vy = geom.coordinate_system(wo)
+    wi = (
+        vx * (sin_t * jnp.cos(phi))[..., None]
+        + vy * (sin_t * jnp.sin(phi))[..., None]
+        + wo * cos_t[..., None]
+    )
+    return wi, hg_phase(cos_t, g)

@@ -122,6 +122,93 @@ class TestInScattering:
         forward, backward = run(0.7), run(-0.7)
         assert backward > 2.0 * forward
 
+    def test_multibounce_anisotropic_matches_numpy_reference(self):
+        """Depth-3 anisotropic (g=0.7) in-scattering in a surface-free fog
+        against an independently written NumPy tracer (same physics, the
+        textbook propagation-frame formulation).  Exercises the
+        phase-SAMPLED continuation at depth >= 2 — the path that was
+        mirror-flipped in round 2 (ADVICE r2 #1)."""
+        sigma_a, sigma_s, g = 0.05, 0.25, 0.7
+        light_p = np.array([0.0, 2.0, -8.0])
+        intensity, depth = 40.0, 3
+
+        b = SceneBuilder()
+        m = b.matte(kd=(0.0, 0.0, 0.0))
+        far = np.eye(4)
+        far[:3, 3] = (0.0, -500.0, 0.0)
+        b.sphere(far, 1.0, m)
+        b.point_light(tuple(light_p), (intensity,) * 3)
+        b.set_medium((sigma_a,) * 3, (sigma_s,) * 3, g=g)
+        scene = b.build(accelerator="none")
+        got = _trace_center(
+            scene, n=150000, depth=depth, o=(0.0, 0.0, 0.0), d=(0.0, 0.0, -1.0)
+        )
+
+        # --- independent NumPy reference (propagation-frame convention:
+        # cos(theta) has mean g w.r.t. the CURRENT direction of travel) ---
+        rng = np.random.default_rng(11)
+        n = 400000
+        st = sigma_a + sigma_s
+        o = np.zeros((n, 3))
+        d = np.tile([0.0, 0.0, -1.0], (n, 1))
+        beta = np.ones(n)
+        L = np.zeros(n)
+
+        def hg_std(c):  # standard HG: peak at c=+1 for g>0, mean cosine g
+            return (1 - g * g) / (4 * np.pi * (1 + g * g - 2 * g * c) ** 1.5)
+
+        for _ in range(depth):
+            t = -np.log1p(-rng.random(n)) / st
+            p = o + d * t[:, None]
+            beta = beta * (sigma_s / st)  # Tr*sigma_s/pdf for a gray medium
+            wl = light_p - p
+            r = np.linalg.norm(wl, axis=-1)
+            wl = wl / r[:, None]
+            ph = hg_std(np.sum(d * wl, axis=-1))
+            L += beta * ph * intensity * np.exp(-st * r) / r**2
+            # HG continuation around the propagation direction d; f/pdf = 1
+            sq = (1 - g * g) / (1 - g + 2 * g * rng.random(n))
+            c = np.clip((1 + g * g - sq * sq) / (2 * g), -1.0, 1.0)
+            s = np.sqrt(np.maximum(1 - c * c, 0.0))
+            phi = 2 * np.pi * rng.random(n)
+            a = np.where(np.abs(d[:, 0:1]) < 0.9, [[1.0, 0, 0]], [[0, 1.0, 0]])
+            vx = np.cross(a, d)
+            vx /= np.linalg.norm(vx, axis=-1, keepdims=True)
+            vy = np.cross(d, vx)
+            d = (
+                vx * (s * np.cos(phi))[:, None]
+                + vy * (s * np.sin(phi))[:, None]
+                + d * c[:, None]
+            )
+            o = p
+        expected = L.mean()
+        np.testing.assert_allclose(got, expected, rtol=0.08)
+
+
+class TestDirectIntegratorMedium:
+    def test_li_direct_attenuates_segments_and_shadows(self):
+        """li_direct under fog: absorption-only — camera segment Tr times
+        shadow-ray Tr, same exp(-sigma*(5+3)) as the path integrator on a
+        pure-absorption scene (ADVICE r2 #2: round 2 attenuated only the
+        shadow ray)."""
+        import jax.numpy as jnp2
+
+        def direct_center(scene, n=50000):
+            o = jnp2.broadcast_to(jnp2.asarray([0.0, 0.0, 5.0]), (n, 3))
+            d = jnp2.broadcast_to(jnp2.asarray([0.0, 0.0, -1.0]), (n, 3))
+            pix = jnp2.arange(n, dtype=jnp2.uint32)
+            L = integrators.li_direct(
+                scene, o, d, pix, jnp2.uint32(0), jnp2.uint32(7), max_depth=2
+            )
+            return np.asarray(L).mean(axis=0)
+
+        sigma = 0.1
+        clear = direct_center(_disk_light_scene())
+        foggy = direct_center(_disk_light_scene(sigma_a=(sigma,) * 3))
+        np.testing.assert_allclose(
+            foggy / clear, math.exp(-sigma * 8.0), rtol=0.05
+        )
+
 
 class TestMediumOffByDefault:
     def test_no_medium_identical_to_round1_path(self):
