@@ -74,7 +74,8 @@ struct Prim {
   int type;
   V3 c;          // sphere center / disk center
   float radius;
-  float height;  // disk plane z offset in object space == world y after rot
+  int axis;      // disk world plane axis: 1 = y-plane floor, 2 = z backdrop
+  float plane;   // disk world plane offset along `axis`
   V3 kd;         // matte albedo (disks: checker evaluated at hit)
   bool checker;
   int area_light;  // -1 or light index
@@ -101,15 +102,19 @@ static inline bool sphere_hit(const Prim& s, V3 o, V3 d, float tmax, float* t) {
   return true;
 }
 
-// floor disks: world-space plane y = height (the demo rotates the disk
-// into the XZ plane), giant radius (10000) around c
+// demo disks (server.go:86-102): one rotated into the XZ plane (floor,
+// axis=1) and one left in the XY plane (vertical backdrop at z=-50, axis=2)
 static inline bool disk_hit(const Prim& s, V3 o, V3 d, float tmax, float* t) {
-  if (std::fabs(d.y) < 1e-9f) return false;
-  float tt = (s.height - o.y) / d.y;
+  float dn = s.axis == 1 ? d.y : d.z;
+  float on = s.axis == 1 ? o.y : o.z;
+  if (std::fabs(dn) < 1e-9f) return false;
+  float tt = (s.plane - on) / dn;
   if (tt <= 1e-3f || tt >= tmax) return false;
   V3 p = o + d * tt;
-  float dx = p.x - s.c.x, dz = p.z - s.c.z;
-  if (dx * dx + dz * dz > s.radius * s.radius) return false;
+  float du, dv;
+  if (s.axis == 1) { du = p.x - s.c.x; dv = p.z - s.c.z; }
+  else { du = p.x - s.c.x; dv = p.y - s.c.y; }
+  if (du * du + dv * dv > s.radius * s.radius) return false;
   *t = tt;
   return true;
 }
@@ -132,9 +137,12 @@ struct Scene {
     if (p.type == SPH) {
       *lo = p.c - v3(p.radius, p.radius, p.radius);
       *hi = p.c + v3(p.radius, p.radius, p.radius);
+    } else if (p.axis == 1) {
+      *lo = v3(p.c.x - p.radius, p.plane - 1e-3f, p.c.z - p.radius);
+      *hi = v3(p.c.x + p.radius, p.plane + 1e-3f, p.c.z + p.radius);
     } else {
-      *lo = v3(p.c.x - p.radius, p.height - 1e-3f, p.c.z - p.radius);
-      *hi = v3(p.c.x + p.radius, p.height + 1e-3f, p.c.z + p.radius);
+      *lo = v3(p.c.x - p.radius, p.c.y - p.radius, p.plane - 1e-3f);
+      *hi = v3(p.c.x + p.radius, p.c.y + p.radius, p.plane + 1e-3f);
     }
   }
 
@@ -227,7 +235,8 @@ struct Scene {
     h->t = best; h->prim = best_prim;
     h->p = o + d * best;
     const Prim& p = prims[best_prim];
-    h->n = p.type == SPH ? norm(h->p - p.c) : v3(0, 1, 0);
+    h->n = p.type == SPH ? norm(h->p - p.c)
+                         : (p.axis == 1 ? v3(0, 1, 0) : v3(0, 0, 1));
     if (dot(h->n, d) > 0) h->n = h->n * -1.0f;
     return true;
   }
@@ -272,12 +281,17 @@ int main(int argc, char** argv) {
       sc.prims.push_back(p);
     }
   }
-  for (int i = 0; i < 2; i++) {
-    Prim p{}; p.type = DSK;
-    p.c = i == 0 ? v3(0, 0, 0) : v3(-50, 0, -50);
-    p.radius = 10000.0f; p.height = 0.01f;
+  {
+    // RotateX(90) floor disk: object z=0.01 -> world plane y = -0.01
+    Prim p{}; p.type = DSK; p.c = v3(0, -0.01f, 0);
+    p.radius = 10000.0f; p.axis = 1; p.plane = -0.01f;
     p.kd = v3(1, 1, 1); p.checker = true; p.area_light = -1;
     sc.prims.push_back(p);
+    // untransformed second disk: vertical XY-plane backdrop at z = -49.99
+    Prim q{}; q.type = DSK; q.c = v3(-50, 0, -49.99f);
+    q.radius = 10000.0f; q.axis = 2; q.plane = -49.99f;
+    q.kd = v3(1, 1, 1); q.checker = true; q.area_light = -1;
+    sc.prims.push_back(q);
   }
   // area-light sphere
   {
@@ -310,6 +324,9 @@ int main(int argc, char** argv) {
   std::atomic<int> next_row{0};
   double lum_sum = 0.0;
   std::vector<double> lum_per_thread(THREADS, 0.0);
+  // optional raw-radiance dump for cross-validation vs the JAX renderer
+  const char* dump = getenv("GOPBRT_BASELINE_DUMP");
+  std::vector<float> image(dump ? (size_t)W * H * 3 : 0);
 
   auto worker = [&](int tid) {
     Pcg32 rng;
@@ -431,6 +448,11 @@ int main(int argc, char** argv) {
           Lpix = Lpix + Lr;
         }
         lum += (Lpix.x + Lpix.y + Lpix.z) / (3.0 * SPP);
+        if (dump) {
+          size_t i = ((size_t)y * W + x) * 3;
+          image[i] = Lpix.x / SPP; image[i + 1] = Lpix.y / SPP;
+          image[i + 2] = Lpix.z / SPP;
+        }
       }
     }
     ray_count.fetch_add(rays);
@@ -445,6 +467,10 @@ int main(int argc, char** argv) {
   double secs = std::chrono::duration<double>(t1 - t0).count();
   for (double l : lum_per_thread) lum_sum += l;
 
+  if (dump) {
+    FILE* f = fopen(dump, "wb");
+    if (f) { fwrite(image.data(), 4, image.size(), f); fclose(f); }
+  }
   long long rays = ray_count.load();
   std::printf(
       "{\"rays\": %lld, \"seconds\": %.4f, \"rays_per_s\": %.1f, "
