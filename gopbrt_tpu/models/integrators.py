@@ -35,21 +35,22 @@ from gopbrt_tpu.ops import texture as tex_ops
 from gopbrt_tpu.ops.geom import dot, normalize
 from gopbrt_tpu.models.scene import Scene
 
-# sampling-dimension layout (stateless counters, see ops/rng.py):
-# dims 0-4 are consumed by the camera (pixel jitter x2, lens x2, time);
-# each bounce consumes a fixed stride of dimensions.
-DIM_CAMERA = 0
-DIMS_PER_BOUNCE = 16
-DIM_BOUNCE_BASE = 5
-# within a bounce:
-D_LIGHT_PICK = 0
-D_LIGHT_UV = 1  # +2
-D_BSDF_UV = 3  # +2
-D_BSDF_LOBE = 5
-D_RR = 6
-D_SSS = 7  # +4: entry Fresnel, probe axis, channel+radius, azimuth
-D_MEDIUM = 11  # +2: channel pick, distance
-D_PHASE = 13  # +2: HG cos-theta, azimuth
+# sampling-dimension layout: defined in ops/rng.py (shared with the Pallas
+# bounce megakernel so both consume identical counter streams); re-exported
+# here for the existing call sites.
+from gopbrt_tpu.ops.rng import (  # noqa: F401  (re-exports)
+    DIM_CAMERA,
+    DIMS_PER_BOUNCE,
+    DIM_BOUNCE_BASE,
+    D_LIGHT_PICK,
+    D_LIGHT_UV,
+    D_BSDF_UV,
+    D_BSDF_LOBE,
+    D_RR,
+    D_SSS,
+    D_MEDIUM,
+    D_PHASE,
+)
 
 
 class PathConfig(NamedTuple):
@@ -83,11 +84,35 @@ BRUTE_FORCE_CUTOFF = 64
 # True / False / None = auto (TPU only; interpret-mode elsewhere is slow)
 USE_PALLAS_INTERSECT: bool | None = None
 
+# use the fused Pallas bounce MEGAKERNEL (ops/pallas_megakernel.py) for
+# scenes inside the fast-path feature set (Scene.fastinfo.ok):
+# True / False / None = auto (TPU only)
+USE_MEGAKERNEL: bool | None = None
+
 
 def _pallas_on() -> bool:
     if USE_PALLAS_INTERSECT is not None:
         return USE_PALLAS_INTERSECT
     return jax.default_backend() == "tpu"
+
+
+def _megakernel_on(scene: Scene, cfg: "PathConfig") -> bool:
+    """Static (trace-time) gate for the fused bounce megakernel."""
+    enabled = (
+        USE_MEGAKERNEL
+        if USE_MEGAKERNEL is not None
+        else jax.default_backend() == "tpu"
+    )
+    return bool(
+        enabled
+        and scene.fastinfo is not None
+        and getattr(scene.fastinfo, "ok", False)
+        and scene.prims.count <= BRUTE_FORCE_CUTOFF  # kernel is brute-force
+        and cfg.nee
+        and cfg.mis
+        and not cfg.compaction
+        and not cfg.early_exit
+    )
 
 
 def _scene_intersect(scene: Scene, o, d, t_max):
@@ -732,7 +757,29 @@ def li(
     Fixes reference quirk #4: directly-visible emitters DO contribute
     (the reference increments `bounces` before its emission check,
     path.go:41-48, losing camera-visible lights).
+
+    Dispatch: scenes inside the fast-path set (Scene.fastinfo.ok, see
+    ops/static_info.FastPathInfo) run the fused Pallas bounce megakernel
+    (forward; gradients replay through this jnp chain); everything else
+    runs the general jnp wavefront loop below.
     """
+    if _megakernel_on(scene, cfg):
+        from gopbrt_tpu.ops import pallas_megakernel as mk
+
+        return mk.path_li_fused(scene, o, d, pixel, sample, seed, cfg)
+    return _li_jnp(scene, o, d, pixel, sample, seed, cfg)
+
+
+def _li_jnp(
+    scene: Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    pixel: jnp.ndarray,
+    sample: jnp.ndarray,
+    seed,
+    cfg: PathConfig = PathConfig(),
+) -> jnp.ndarray:
+    """The general jnp wavefront bounce loop (every feature; differentiable)."""
     n = o.shape[0]
     f32 = jnp.float32
     state = PathState(

@@ -110,6 +110,11 @@ class Scene(NamedTuple):
     # never exercise: it ships no concrete Medium).  None compiles all
     # medium code out of the integrator.
     medium: Optional["object"] = None  # ops.media.HomogeneousMedium
+    # static fast-path descriptor (ops/static_info.FastPathInfo): when .ok,
+    # the path integrator runs the fused Pallas bounce megakernel instead of
+    # the jnp wavefront chain.  None (scenes built without the builder) =
+    # jnp chain.
+    fastinfo: "object" = None
 
     @property
     def n_lights(self) -> int:
@@ -518,6 +523,7 @@ class SceneBuilder:
             bvh=None,
             light_grid=light_grid,
             medium=medium,
+            fastinfo=self._fast_path_info(o2w),
         )
         if accelerator == "bvh" and n > 4:
             from gopbrt_tpu.ops import bvh as bvh_mod
@@ -580,6 +586,54 @@ class SceneBuilder:
             w2o=jnp.asarray(w2o),
             params=jnp.asarray(np.stack([r["params"] for r in rows])),
         )
+
+    def _fast_path_info(self, o2w: np.ndarray):
+        """Host-side eligibility check for the fused Pallas bounce megakernel
+        (ops/pallas_megakernel.py) — see static_info.FastPathInfo for the
+        closed feature set.  Conservative: any feature outside the set turns
+        the fast path off and the jnp wavefront chain runs instead."""
+        from gopbrt_tpu.ops.static_info import FastPathInfo
+
+        ok = True
+        # shapes: sphere/disk only
+        if any(t not in (SPHERE, DISK) for t in self._prim_type):
+            ok = False
+        # materials: matte sigma==0, no bump, no sss
+        for m in self._materials:
+            if m["mat_type"] != MATTE or m["sigma"] != 0.0 or m["bump_tex"] >= 0:
+                ok = False
+            t = m["kd_tex"]
+            if t >= 0:
+                row = self._textures[t]
+                if row["type"] == TEX_CONSTANT:
+                    pass
+                elif row["type"] == TEX_CHECKERBOARD and row["mapping"] == MAP_PLANAR:
+                    pass
+                else:
+                    ok = False
+        # lights: point / distant / sphere-area, global distribution, 1..16
+        if not (1 <= len(self._lights) <= 16) or self.light_strategy == "spatial":
+            ok = False
+        for r in self._lights:
+            if r["type"] == LIGHT_AREA and r["shape"] != SHAPE_SPHERE:
+                ok = False
+        if self._medium is not None or any(self._reverse):
+            ok = False
+        # transforms: rigid + uniform scale, det > 0 (the kernel derives
+        # sphere normals as normalize(p - center) and bakes disk normals)
+        lin = np.asarray(o2w, np.float64)[:, :3, :3]
+        gram = np.einsum("pij,pkj->pik", lin, lin)
+        scale2 = np.maximum(np.einsum("pii->p", gram) / 3.0, 1e-30)
+        if not (
+            np.all(np.linalg.det(lin) > 0.0)
+            and np.allclose(
+                gram / scale2[:, None, None],
+                np.eye(3)[None],
+                atol=1e-4,
+            )
+        ):
+            ok = False
+        return FastPathInfo(ok=ok)
 
     def _light_distribution(self, lights: Lights, world_radius: float):
         from gopbrt_tpu.ops import lights as lights_ops

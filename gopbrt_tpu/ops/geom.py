@@ -318,6 +318,27 @@ def ray_at(o: jnp.ndarray, d: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return o + d * t[..., None]
 
 
+@jax.custom_jvp
+def _nextafter_away(po: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+    """Round each component of po one ulp away from zero where offset != 0.
+
+    Wrapped in a custom_jvp because jnp.nextafter has no differentiation
+    rule; the op is a sub-ulp rounding, so the identity JVP is exact to
+    machine precision (keeps geometry-parameter gradients flowing through
+    spawn_ray in the path-replay backward pass).
+    """
+    po_up = jnp.where(po > 0, jnp.nextafter(po, jnp.inf), po)
+    po_dn = jnp.where(po < 0, jnp.nextafter(po, -jnp.inf), po)
+    return jnp.where(offset > 0, po_up, jnp.where(offset < 0, po_dn, po))
+
+
+@_nextafter_away.defjvp
+def _nextafter_away_jvp(primals, tangents):
+    po, offset = primals
+    dpo, _ = tangents
+    return _nextafter_away(po, offset), dpo
+
+
 def offset_ray_origin(p: jnp.ndarray, p_err: jnp.ndarray, n: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Robust spawn-point offset along the normal (ray.go:57-74).
 
@@ -328,12 +349,7 @@ def offset_ray_origin(p: jnp.ndarray, p_err: jnp.ndarray, n: jnp.ndarray, w: jnp
     d = dot(jnp.abs(n), p_err)
     offset = d[..., None] * n
     offset = jnp.where(dot(w, n)[..., None] < 0.0, -offset, offset)
-    po = p + offset
-    # round away from p
-    po_up = jnp.where(po > 0, jnp.nextafter(po, jnp.inf), po)
-    po_dn = jnp.where(po < 0, jnp.nextafter(po, -jnp.inf), po)
-    po = jnp.where(offset > 0, po_up, jnp.where(offset < 0, po_dn, po))
-    return po
+    return _nextafter_away(p + offset, offset)
 
 
 def apply_ray(m: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray):

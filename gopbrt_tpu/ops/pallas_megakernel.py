@@ -1,0 +1,839 @@
+"""Pallas TPU bounce MEGAKERNEL: the whole path-tracing loop in one kernel.
+
+Round-2 profiling (BENCH_NOTES.md) showed the per-bounce jnp shading chain
+costs ~280 of 313 ms/pass in XLA relayout copies and HBM round-trips between
+fusions, while the Pallas intersect kernels cost 33.5 ms.  This kernel is
+the prescribed fix: each grid step loads a block of camera rays into VMEM
+once and carries the per-lane path state (o, d, beta, L, masks, MIS pdf)
+through ALL bounces in VMEM — intersect, shade, NEE + shadow ray, BSDF
+sample, and Russian roulette fused into a single launch.  State never
+touches HBM between bounces.
+
+Scope (the closed fast-path set, ops/static_info.FastPathInfo — the demo
+workload of the reference, ``internal/render/server.go:30-164``):
+  shapes     sphere / disk (partial clips supported via the shared
+             ``pallas_intersect._prim_test``)
+  materials  matte with sigma == 0 (pure Lambert), kd constant or planar
+             checkerboard
+  lights     point / distant / sphere diffuse-area, global (uniform/power)
+             light distribution
+  transforms rigid + uniform scale, det > 0, no reverse orientation
+Scenes outside the set run the general jnp wavefront chain in
+models/integrators.py; gradients run there too (path-replay backward, see
+``path_li_fused``).
+
+The math intentionally mirrors the jnp chain op-for-op — same counter-based
+RNG streams (ops/rng.py dimension layout), same warps, same MIS weights
+(EstimateDirect semantics, ``pkg/pbrt/integrator.go:79-195``; Path.Li loop,
+``pkg/integrator/path.go:32-157``) — so both backends estimate the same
+integral with the same sample sequences and can be cross-checked
+statistically (tests/test_megakernel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gopbrt_tpu.ops.geom import ONE_MINUS_EPSILON, SHADOW_EPSILON
+from gopbrt_tpu.ops.pallas_intersect import _prim_test, _flatten_w2o
+from gopbrt_tpu.ops.rng import (
+    DIM_BOUNCE_BASE,
+    DIMS_PER_BOUNCE,
+    D_LIGHT_PICK,
+    D_LIGHT_UV,
+    D_BSDF_UV,
+    D_RR,
+)
+
+SUB = 8
+LANE = 1024
+BLOCK = SUB * LANE
+_BIG = 1e30
+PI = math.pi
+INV_PI = 1.0 / math.pi
+_GOLDEN = 0x9E3779B9
+
+# shade-table column layout (per primitive, f32[P, 18])
+_SH_C1 = 0        # 0-2  kd constant / checker colour 1
+_SH_C2 = 3        # 3-5  checker colour 2
+_SH_CHK = 6       # is_checker flag
+_SH_VS = 7        # 7-9  planar mapping s axis
+_SH_VT = 10       # 10-12 planar mapping t axis
+_SH_DS = 13       # 13-14 mapping offsets
+_SH_ALID = 15     # area_light_id (-1 none)
+_SH_SCALE2 = 16   # sigma^2 of the uniform scale (o2w_lin = s^2 * w2o_lin^T)
+_SH_K = 18
+
+# light aux column layout (per light, f32[L, 8])
+_LA_TWO = 0       # two_sided flag
+_LA_CX = 1        # 1-3 sphere-emitter world center
+_LA_RAD = 4       # sphere-emitter world radius
+_LA_FUNC = 5      # light-distribution func value
+_LA_K = 8
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers on component triples ([SUB, LANE] f32 arrays)
+# ---------------------------------------------------------------------------
+
+
+def _hash_u32(x):
+    """lowbias32 (ops/rng.hash_u32), on a u32 vector."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _hash_combine(h, v):
+    return _hash_u32(h ^ (v + jnp.uint32(_GOLDEN) + (h << 6) + (h >> 2)))
+
+
+def _to_unit(x):
+    return jnp.minimum(
+        x.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10),
+        jnp.float32(ONE_MINUS_EPSILON),
+    )
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _cross3(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _normalize3(x, y, z, eps):
+    n2 = x * x + y * y + z * z
+    inv = jnp.where(n2 > eps, 1.0, 0.0) / jnp.sqrt(
+        jnp.maximum(n2, max(eps, 1e-30))
+    )
+    return x * inv, y * inv, z * inv
+
+
+def _coord_system(vx, vy, vz):
+    """Branch-free Duff frame (geom.coordinate_system) on triples."""
+    sign = jnp.where(vz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + vz)
+    b = vx * vy * a
+    ux, uy, uz = 1.0 + sign * vx * vx * a, sign * b, -sign * vx
+    wx, wy, wz = b, sign + vy * vy * a, -vy
+    return (ux, uy, uz), (wx, wy, wz)
+
+
+def _power_heuristic(f, g):
+    f2 = f * f
+    g2 = g * g
+    denom = f2 + g2
+    return jnp.where(denom > 0.0, f2 / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+
+
+def _concentric_disk(u0, u1):
+    """Shirley-Chiu map (ops/sampling.concentric_sample_disk) on lanes."""
+    ox = 2.0 * u0 - 1.0
+    oy = 2.0 * u1 - 1.0
+    zero = (ox == 0.0) & (oy == 0.0)
+    use_x = jnp.abs(ox) > jnp.abs(oy)
+    r = jnp.where(use_x, ox, oy)
+    sx = ox / jnp.where(oy == 0.0, 1.0, oy)
+    sy = oy / jnp.where(ox == 0.0, 1.0, ox)
+    theta = jnp.where(use_x, (PI / 4.0) * sy, (PI / 2.0) - (PI / 4.0) * sx)
+    dx = r * jnp.cos(theta)
+    dy = r * jnp.sin(theta)
+    return jnp.where(zero, 0.0, dx), jnp.where(zero, 0.0, dy)
+
+
+def _offset_dist(nx, ny, nz, px, py, pz):
+    """Spawn-ray offset distance: dot(|n|, p_err + 1e-4) with the world
+    p_err approximated by gamma7*|p| (interaction.go:68 + ray.go:57-74;
+    conservative vs the jnp chain's exact transformed error)."""
+    g7 = 7.0 * 5.96e-08 / (1.0 - 7.0 * 5.96e-08)
+    err = g7 * (jnp.abs(px) + jnp.abs(py) + jnp.abs(pz))
+    return (jnp.abs(nx) + jnp.abs(ny) + jnp.abs(nz)) * 1e-4 + (
+        jnp.abs(nx) * err + jnp.abs(ny) * err + jnp.abs(nz) * err
+    )
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _mega_kernel(
+    # static
+    n_prims, n_lights, max_depth, rr_start, rr_threshold,
+    types, full_sph, full_disk, any_checker,
+    # SMEM tables
+    seed_ref, ptype_ref, w2o_ref, params_ref, shade_ref,
+    ltype_ref, lpos_ref, lint_ref, laux_ref, lcdf_ref, scal_ref,
+    # VMEM rays
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+    pix_ref, samp_ref, alive_ref,
+    # outputs
+    lr_ref, lg_ref, lb_ref,
+):
+    f32 = jnp.float32
+    seed = seed_ref[0]
+    func_int = scal_ref[0]
+    world_radius = scal_ref[1]
+
+    # per-lane RNG stream base: hash_combine(hash_combine(seed, pixel), samp)
+    pix = pix_ref[:]
+    samp = samp_ref[:]
+    h = _hash_combine(jnp.full(pix.shape, seed, jnp.uint32), pix)
+    h_ps = _hash_combine(h, samp)
+
+    def closest_hit(ox, oy, oz, dx, dy, dz, t_lim):
+        t_best = t_lim
+        idx_best = jnp.full(ox.shape, -1, jnp.int32)
+
+        def step(p, t_best, idx_best):
+            m = [w2o_ref[p, k] for k in range(12)]
+            pr = [params_ref[p, k] for k in range(9)]
+            tp = _prim_test(ptype_ref[p], m, pr, ox, oy, oz, dx, dy, dz,
+                            t_best, types=types, full_sph=full_sph,
+                            full_disk=full_disk)
+            better = tp < t_best
+            return jnp.where(better, tp, t_best), jnp.where(better, p, idx_best)
+
+        if n_prims <= 32:
+            for p in range(n_prims):
+                t_best, idx_best = step(p, t_best, idx_best)
+        else:
+            t_best, idx_best = jax.lax.fori_loop(
+                0, n_prims, lambda p, c: step(p, *c), (t_best, idx_best)
+            )
+        return t_best, idx_best
+
+    def sel_prim(idx):
+        """Winner-takes-row select over the prim tables: returns
+        (w2o[12], radius, ptype_f, shade[18]) per lane."""
+        zeros = jnp.zeros(idx.shape, f32)
+        m = [zeros] * 12
+        shade = [zeros] * _SH_K
+        radius = zeros
+        ptype_f = zeros
+
+        def step(p, carry):
+            m, shade, radius, ptype_f = carry
+            is_p = idx == p
+            m = [jnp.where(is_p, w2o_ref[p, k], m[k]) for k in range(12)]
+            shade = [
+                jnp.where(is_p, shade_ref[p, k], shade[k]) for k in range(_SH_K)
+            ]
+            radius = jnp.where(is_p, params_ref[p, 0], radius)
+            ptype_f = jnp.where(
+                is_p, ptype_ref[p].astype(f32), ptype_f
+            )
+            return m, shade, radius, ptype_f
+
+        carry = (m, shade, radius, ptype_f)
+        if n_prims <= 32:
+            for p in range(n_prims):
+                carry = step(p, carry)
+        else:
+            carry = jax.lax.fori_loop(0, n_prims, step, carry)
+        return carry
+
+    def sel_light(idx):
+        """Per-lane light-attribute select: idx int32 lanes -> columns."""
+        zeros = jnp.zeros(idx.shape, f32)
+        lt = zeros
+        lp = [zeros] * 3
+        li = [zeros] * 3
+        aux = [zeros] * 6  # two_sided, cx, cy, cz, rad, func
+
+        def step(l, carry):
+            lt, lp, li, aux = carry
+            is_l = idx == l
+            lt = jnp.where(is_l, ltype_ref[l].astype(f32), lt)
+            lp = [jnp.where(is_l, lpos_ref[l, k], lp[k]) for k in range(3)]
+            li = [jnp.where(is_l, lint_ref[l, k], li[k]) for k in range(3)]
+            aux = [jnp.where(is_l, laux_ref[l, k], aux[k]) for k in range(6)]
+            return lt, lp, li, aux
+
+        carry = (lt, lp, li, aux)
+        for l in range(n_lights):
+            carry = step(l, carry)
+        return carry
+
+    def sphere_area_pdf_li(rx, ry, rz, wx, wy, wz, cx, cy, cz, rad):
+        """Solid-angle pdf that sphere-cone sampling generates w from r
+        (ops/lights.pdf_li sphere branch; sphere.go:346-363)."""
+        tcx, tcy, tcz = cx - rx, cy - ry, cz - rz
+        dc2 = tcx * tcx + tcy * tcy + tcz * tcz
+        outside = dc2 > rad * rad * 1.00002
+        sin2_tmax = jnp.clip(rad * rad / jnp.maximum(dc2, 1e-20), 0.0, 1.0)
+        cos_tmax = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tmax))
+        ncx, ncy, ncz = _normalize3(tcx, tcy, tcz, 1e-20)
+        cos_w = _dot3(ncx, ncy, ncz, wx, wy, wz)
+        in_cone = cos_w >= cos_tmax - 1e-6
+        pdf_cone = 1.0 / (
+            2.0 * PI * (1.0 - jnp.minimum(cos_tmax, 1.0 - 1e-7))
+        )
+        pdf_out = jnp.where(outside & in_cone, pdf_cone, 0.0)
+        # inside: analytic forward root of |oc + t w|^2 = rad^2
+        ocx, ocy, ocz = -tcx, -tcy, -tcz
+        b_half = _dot3(ocx, ocy, ocz, wx, wy, wz)
+        oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+        disc = jnp.maximum(rad * rad - (oc2 - b_half * b_half), 0.0)
+        t_hit = -b_half + jnp.sqrt(disc)
+        nhx, nhy, nhz = _normalize3(
+            ocx + wx * t_hit, ocy + wy * t_hit, ocz + wz * t_hit, 1e-20
+        )
+        cos_hit = jnp.abs(_dot3(nhx, nhy, nhz, wx, wy, wz))
+        pdf_in = (t_hit * t_hit) / jnp.maximum(
+            cos_hit * 4.0 * PI * rad * rad, 1e-12
+        )
+        return jnp.where(outside, pdf_out, pdf_in)
+
+    def bounce(bounce_idx, st):
+        (ox, oy, oz, dx, dy, dz, bR, bG, bB, LR, LG, LB,
+         alive_f, spec_f, prev_pdf) = st
+        alive = alive_f > 0.5
+        dim0 = (
+            jnp.uint32(DIM_BOUNCE_BASE)
+            + bounce_idx.astype(jnp.uint32) * jnp.uint32(DIMS_PER_BOUNCE)
+        )
+
+        def u1(off):
+            return _to_unit(_hash_combine(h_ps, dim0 + jnp.uint32(off)))
+
+        # ---- closest hit --------------------------------------------------
+        t, idx = closest_hit(ox, oy, oz, dx, dy, dz, jnp.full(ox.shape, _BIG, f32))
+        hit = (idx >= 0) & alive
+
+        # ---- winner geometry ----------------------------------------------
+        m, shade, radius, ptype_f = sel_prim(idx)
+        # object-space hit + reprojection (sphere.go:100-104)
+        oox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+        ooy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+        ooz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+        odx = m[0] * dx + m[1] * dy + m[2] * dz
+        ody = m[4] * dx + m[5] * dy + m[6] * dz
+        odz = m[8] * dx + m[9] * dy + m[10] * dz
+        pox = oox + odx * t
+        poy = ooy + ody * t
+        poz = ooz + odz * t
+        is_sph = ptype_f < 0.5  # SPHERE=0, DISK=1
+        # sphere: reproject onto the surface; normal = p/r; dpdu = (-y, x, 0)
+        plen = jnp.sqrt(jnp.maximum(pox * pox + poy * poy + poz * poz, 1e-20))
+        s_rep = jnp.where(is_sph, radius / plen, 1.0)
+        pox, poy, poz = pox * s_rep, poy * s_rep, poz * s_rep
+        inv_r = 1.0 / jnp.maximum(radius, 1e-20)
+        nx_o = jnp.where(is_sph, pox * inv_r, 0.0)
+        ny_o = jnp.where(is_sph, poy * inv_r, 0.0)
+        nz_o = jnp.where(is_sph, poz * inv_r, 1.0)
+        # both shapes: dpdu ~ (-y, x, 0) in object space
+        dux_o, duy_o, duz_o = -poy, pox, jnp.zeros_like(pox)
+        # object->world: o2w_lin = scale2 * w2o_lin^T; normals/directions
+        # only need the transpose (uniform scale; FastPathInfo guarantees)
+        scale2 = shade[_SH_SCALE2]
+
+        def w2oT(vx, vy, vz):
+            return (
+                m[0] * vx + m[4] * vy + m[8] * vz,
+                m[1] * vx + m[5] * vy + m[9] * vz,
+                m[2] * vx + m[6] * vy + m[10] * vz,
+            )
+
+        nx, ny, nz = _normalize3(*w2oT(nx_o, ny_o, nz_o), 1e-30)
+        dux, duy, duz = w2oT(dux_o, duy_o, duz_o)
+        # world hit point: o2w @ p_obj with o2w_t = -o2w_lin @ w2o_t
+        plx, ply, plz = w2oT(pox - m[3], poy - m[7], poz - m[11])
+        px = scale2 * plx
+        py = scale2 * ply
+        pz = scale2 * plz
+        wox, woy, woz = _normalize3(-dx, -dy, -dz, 1e-30)
+
+        # ---- emitted radiance at emitter hits (path.go:48-63 + MIS) -------
+        alid = shade[_SH_ALID].astype(jnp.int32)
+        is_emit = hit & (alid >= 0)
+        if n_lights > 0:
+            _, _, eint, eaux = sel_light(jnp.maximum(alid, 0))
+            facing = _dot3(nx, ny, nz, wox, woy, woz) > 0.0
+            emit_on = (eaux[_LA_TWO] > 0.5) | facing
+            # MIS: light pdf as seen from the previous vertex (the ray
+            # origin), times the pick pmf (integrator.go:133-192)
+            l_pdf = sphere_area_pdf_li(
+                ox, oy, oz, dx, dy, dz,
+                eaux[_LA_CX], eaux[_LA_CX + 1], eaux[_LA_CX + 2],
+                eaux[_LA_RAD],
+            )
+            pick_pmf = jnp.where(
+                func_int > 0.0,
+                eaux[5] / jnp.maximum(func_int * n_lights, 1e-20),
+                1.0 / n_lights,
+            )
+            w_bsdf = jnp.where(
+                spec_f > 0.5,
+                1.0,
+                _power_heuristic(prev_pdf, l_pdf * pick_pmf),
+            )
+            gain = jnp.where(is_emit & emit_on, w_bsdf, 0.0)
+            LR = LR + bR * eint[0] * gain
+            LG = LG + bG * eint[1] * gain
+            LB = LB + bB * eint[2] * gain
+
+        alive = alive & hit
+
+        # ---- kd at hit (constant or planar checker) ------------------------
+        kdr, kdg, kdb = shade[_SH_C1], shade[_SH_C1 + 1], shade[_SH_C1 + 2]
+        if any_checker:
+            s_t = shade[_SH_DS] + _dot3(
+                px, py, pz, shade[_SH_VS], shade[_SH_VS + 1], shade[_SH_VS + 2]
+            )
+            t_t = shade[_SH_DS + 1] + _dot3(
+                px, py, pz, shade[_SH_VT], shade[_SH_VT + 1], shade[_SH_VT + 2]
+            )
+            par = jnp.floor(s_t) + jnp.floor(t_t)
+            par = par - 2.0 * jnp.floor(par * 0.5)  # 0 or 1
+            odd = (par > 0.5) & (shade[_SH_CHK] > 0.5)
+            kdr = jnp.where(odd, shade[_SH_C2], kdr)
+            kdg = jnp.where(odd, shade[_SH_C2 + 1], kdg)
+            kdb = jnp.where(odd, shade[_SH_C2 + 2], kdb)
+
+        # ---- shading frame (BSDF constructor, reflection.go:120-145) ------
+        nd = _dot3(nx, ny, nz, dux, duy, duz)
+        ssx, ssy, ssz = dux - nx * nd, duy - ny * nd, duz - nz * nd
+        bad = ssx * ssx + ssy * ssy + ssz * ssz < 1e-12
+        (fbx, fby, fbz), _ = _coord_system(nx, ny, nz)
+        ssx = jnp.where(bad, fbx, ssx)
+        ssy = jnp.where(bad, fby, ssy)
+        ssz = jnp.where(bad, fbz, ssz)
+        ssx, ssy, ssz = _normalize3(ssx, ssy, ssz, 1e-30)
+        tsx, tsy, tsz = _cross3(nx, ny, nz, ssx, ssy, ssz)
+        cos_o = _dot3(wox, woy, woz, nx, ny, nz)  # wo_local.z
+
+        d_off = _offset_dist(nx, ny, nz, px, py, pz)
+
+        # ---- NEE: one-light estimate (integrator.go:48-77, 79-195) --------
+        if n_lights > 0:
+            u_pick = u1(D_LIGHT_PICK)
+            # Distribution1D discrete sample: count cdf entries <= u
+            cnt = jnp.zeros(u_pick.shape, jnp.int32)
+            for i in range(n_lights + 1):
+                cnt = cnt + (lcdf_ref[i] <= u_pick).astype(jnp.int32)
+            lidx = jnp.clip(cnt - 1, 0, n_lights - 1)
+            lt, lp, lin, laux = sel_light(lidx)
+            pick_pmf = jnp.where(
+                func_int > 0.0,
+                laux[5] / (jnp.maximum(func_int, 1e-30) * n_lights),
+                1.0 / n_lights,
+            )
+            ul0 = u1(D_LIGHT_UV)
+            ul1 = u1(D_LIGHT_UV + 1)
+
+            # point light: Li = I/d^2 (point.go:44-49)
+            tlx, tly, tlz = lp[0] - px, lp[1] - py, lp[2] - pz
+            d2 = tlx * tlx + tly * tly + tlz * tlz
+            dist_pt = jnp.sqrt(d2)
+            wix_pt, wiy_pt, wiz_pt = _normalize3(tlx, tly, tlz, 1e-20)
+            inv_d2 = 1.0 / jnp.maximum(d2, 1e-12)
+
+            # area sphere: cone/inside sampling (sphere.go:287-344)
+            cx, cy, cz, rad = laux[1], laux[2], laux[3], laux[4]
+            tcx, tcy, tcz = cx - px, cy - py, cz - pz
+            dc2 = tcx * tcx + tcy * tcy + tcz * tcz
+            dc = jnp.sqrt(dc2)
+            outside = dc > rad * 1.00001
+            inv_dc = 1.0 / jnp.maximum(dc, 1e-12)
+            wcx, wcy, wcz = tcx * inv_dc, tcy * inv_dc, tcz * inv_dc
+            (v2x, v2y, v2z), (v3x, v3y, v3z) = _coord_system(wcx, wcy, wcz)
+            sin2_tmax = jnp.clip(rad * rad / jnp.maximum(dc2, 1e-20), 0.0, 1.0)
+            cos_tmax = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tmax))
+            cos_t = (1.0 - ul0) + ul0 * cos_tmax
+            sin2_t = jnp.maximum(0.0, 1.0 - cos_t * cos_t)
+            ds_ = dc * cos_t - jnp.sqrt(
+                jnp.maximum(0.0, rad * rad - dc2 * sin2_t)
+            )
+            cos_a = (dc2 + rad * rad - ds_ * ds_) / jnp.maximum(
+                2.0 * dc * rad, 1e-12
+            )
+            sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
+            phi = 2.0 * PI * ul1
+            sa_cp = sin_a * jnp.cos(phi)
+            sa_sp = sin_a * jnp.sin(phi)
+            nox = -v2x * sa_cp - v3x * sa_sp - wcx * cos_a
+            noy = -v2y * sa_cp - v3y * sa_sp - wcy * cos_a
+            noz = -v2z * sa_cp - v3z * sa_sp - wcz * cos_a
+            plx_o = cx + rad * nox
+            ply_o = cy + rad * noy
+            plz_o = cz + rad * noz
+            wix_o, wiy_o, wiz_o = _normalize3(
+                plx_o - px, ply_o - py, plz_o - pz, 1e-20
+            )
+            pdf_out = 1.0 / (
+                2.0 * PI * (1.0 - jnp.minimum(cos_tmax, 1.0 - 1e-7))
+            )
+            # inside: uniform area + conversion
+            z_in = 1.0 - 2.0 * ul0
+            r_in = jnp.sqrt(jnp.maximum(0.0, 1.0 - z_in * z_in))
+            nix = r_in * jnp.cos(phi)
+            niy = r_in * jnp.sin(phi)
+            niz = z_in
+            plx_i, ply_i, plz_i = cx + rad * nix, cy + rad * niy, cz + rad * niz
+            wvx, wvy, wvz = plx_i - px, ply_i - py, plz_i - pz
+            d2i = wvx * wvx + wvy * wvy + wvz * wvz
+            wix_i, wiy_i, wiz_i = _normalize3(wvx, wvy, wvz, 1e-20)
+            cos_li = jnp.abs(_dot3(nix, niy, niz, -wix_i, -wiy_i, -wiz_i))
+            pdf_in = d2i / jnp.maximum(cos_li * 4.0 * PI * rad * rad, 1e-12)
+            wix_ar = jnp.where(outside, wix_o, wix_i)
+            wiy_ar = jnp.where(outside, wiy_o, wiy_i)
+            wiz_ar = jnp.where(outside, wiz_o, wiz_i)
+            nlx = jnp.where(outside, nox, nix)
+            nly = jnp.where(outside, noy, niy)
+            nlz = jnp.where(outside, noz, niz)
+            plx_a = jnp.where(outside, plx_o, plx_i)
+            ply_a = jnp.where(outside, ply_o, ply_i)
+            plz_a = jnp.where(outside, plz_o, plz_i)
+            pdf_ar = jnp.where(outside, pdf_out, pdf_in)
+            dist_ar = jnp.sqrt(
+                (plx_a - px) ** 2 + (ply_a - py) ** 2 + (plz_a - pz) ** 2
+            )
+            facing_l = _dot3(nlx, nly, nlz, -wix_ar, -wiy_ar, -wiz_ar) > 0.0
+            area_on = ((laux[_LA_TWO] > 0.5) | facing_l) & (pdf_ar > 0.0)
+
+            is_pt = lt < 0.5            # LIGHT_POINT = 0
+            is_di = (lt > 0.5) & (lt < 1.5)  # LIGHT_DISTANT = 1
+            is_delta = is_pt | is_di
+            wix = jnp.where(is_pt, wix_pt, jnp.where(is_di, lp[0], wix_ar))
+            wiy = jnp.where(is_pt, wiy_pt, jnp.where(is_di, lp[1], wiy_ar))
+            wiz = jnp.where(is_pt, wiz_pt, jnp.where(is_di, lp[2], wiz_ar))
+            li_gain = jnp.where(
+                is_pt, inv_d2, jnp.where(is_di | area_on, 1.0, 0.0)
+            )
+            lir = lin[0] * li_gain
+            lig = lin[1] * li_gain
+            lib = lin[2] * li_gain
+            ls_pdf = jnp.where(is_delta, 1.0, pdf_ar)
+            dist = jnp.where(
+                is_pt, dist_pt, jnp.where(is_di, 2.0 * world_radius, dist_ar)
+            )
+
+            # f = kd/pi * |cos(wi, ns)| on the same hemisphere
+            cos_i = _dot3(wix, wiy, wiz, nx, ny, nz)
+            same = cos_o * cos_i > 0.0
+            f_gain = jnp.where(same, INV_PI * jnp.abs(cos_i), 0.0)
+            b_pdf = jnp.where(same, jnp.abs(cos_i) * INV_PI, 0.0)
+            f_max = jnp.maximum(kdr, jnp.maximum(kdg, kdb)) * f_gain
+            li_max = jnp.maximum(lir, jnp.maximum(lig, lib))
+            contributes = alive & (ls_pdf > 0.0) & (li_max > 0.0) & (f_max > 0.0)
+
+            # shadow ray (VisibilityTester.Unoccluded, light.go:46-48)
+            sgn = jnp.where(_dot3(wix, wiy, wiz, nx, ny, nz) < 0.0, -1.0, 1.0)
+            shx = px + sgn * d_off * nx
+            shy = py + sgn * d_off * ny
+            shz = pz + sgn * d_off * nz
+            t_sh = jnp.maximum(dist * (1.0 - SHADOW_EPSILON) - 1e-3, 1e-4)
+            # any-hit loop: dead/non-contributing lanes get zero-length rays
+            t_sh = jnp.where(contributes, t_sh, 1e-6)
+            _, sh_idx = closest_hit(shx, shy, shz, wix, wiy, wiz, t_sh)
+            vis = contributes & (sh_idx < 0)
+
+            weight = jnp.where(
+                is_delta, 1.0, _power_heuristic(ls_pdf, b_pdf)
+            )
+            gain = (
+                f_gain
+                * weight
+                / jnp.maximum(ls_pdf, 1e-20)
+                / jnp.maximum(pick_pmf, 1e-20)
+            )
+            gain = jnp.where(vis, gain, 0.0)
+            LR = LR + bR * kdr * lir * gain
+            LG = LG + bG * kdg * lig * gain
+            LB = LB + bB * kdb * lib * gain
+
+        # ---- BSDF sample: cosine hemisphere (path.go:91-101) --------------
+        ub0 = u1(D_BSDF_UV)
+        ub1 = u1(D_BSDF_UV + 1)
+        dxl, dyl = _concentric_disk(ub0, ub1)
+        zl = jnp.sqrt(jnp.maximum(0.0, 1.0 - dxl * dxl - dyl * dyl))
+        zl = jnp.where(cos_o < 0.0, -zl, zl)  # sample on wo's side
+        wix_n = ssx * dxl + tsx * dyl + nx * zl
+        wiy_n = ssy * dxl + tsy * dyl + ny * zl
+        wiz_n = ssz * dxl + tsz * dyl + nz * zl
+        pdf_b = jnp.abs(zl) * INV_PI
+        cos_n = jnp.abs(_dot3(wix_n, wiy_n, wiz_n, nx, ny, nz))
+        kd_max = jnp.maximum(kdr, jnp.maximum(kdg, kdb))
+        # same-hemisphere edge (bsdf_f masks f to 0 when wo grazes)
+        ok = (pdf_b > 1e-9) & (kd_max * INV_PI > 0.0) & (cos_o * zl > 0.0)
+        thr = jnp.where(
+            ok, (INV_PI * cos_n) / jnp.maximum(pdf_b, 1e-20), 0.0
+        )
+        bR = bR * kdr * thr
+        bG = bG * kdg * thr
+        bB = bB * kdb * thr
+        alive = alive & ok & (jnp.maximum(bR, jnp.maximum(bG, bB)) > 0.0)
+
+        sgn_n = jnp.where(
+            _dot3(wix_n, wiy_n, wiz_n, nx, ny, nz) < 0.0, -1.0, 1.0
+        )
+        ox = px + sgn_n * d_off * nx
+        oy = py + sgn_n * d_off * ny
+        oz = pz + sgn_n * d_off * nz
+        dx, dy, dz = wix_n, wiy_n, wiz_n
+
+        # ---- Russian roulette (path.go:143-153) ----------------------------
+        rr_max = jnp.maximum(bR, jnp.maximum(bG, bB))
+        q = jnp.maximum(0.05, 1.0 - rr_max)
+        u_rr = u1(D_RR)
+        do_rr = (bounce_idx >= rr_start) & (rr_max < rr_threshold)
+        killed = do_rr & (u_rr < q)
+        surv = jnp.where(do_rr & ~killed, 1.0 / (1.0 - q), 1.0)
+        bR, bG, bB = bR * surv, bG * surv, bB * surv
+        alive = alive & ~killed
+
+        return (
+            ox, oy, oz, dx, dy, dz, bR, bG, bB, LR, LG, LB,
+            jnp.where(alive, 1.0, 0.0).astype(f32),
+            jnp.zeros_like(spec_f),  # matte is never specular
+            pdf_b,
+        )
+
+    shape = ox_ref.shape
+    zeros = jnp.zeros(shape, jnp.float32)
+    state = (
+        ox_ref[:], oy_ref[:], oz_ref[:],
+        dx_ref[:], dy_ref[:], dz_ref[:],
+        zeros + 1.0, zeros + 1.0, zeros + 1.0,  # beta
+        zeros, zeros, zeros,                    # L
+        alive_ref[:],                           # alive (f32 0/1)
+        zeros + 1.0,                            # specular (camera rays)
+        zeros,                                  # prev_bsdf_pdf
+    )
+    state = jax.lax.fori_loop(0, max_depth, bounce, state)
+    lr_ref[:] = state[9]
+    lg_ref[:] = state[10]
+    lb_ref[:] = state[11]
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrapper
+# ---------------------------------------------------------------------------
+
+
+def _shade_table(scene) -> jnp.ndarray:
+    """Per-primitive shading record f32[P, 18] (see column layout above).
+    Tiny vectorised gathers at trace time; XLA folds them into setup."""
+    prims = scene.prims
+    mats = scene.materials
+    tex = scene.textures
+    mid = prims.material_id
+    kd = mats.kd[mid]
+    kt_id = mats.kd_tex[mid]
+    safe = jnp.maximum(kt_id, 0)
+    is_tex = kt_id >= 0
+    ttype = tex.tex_type[safe]
+    is_chk = is_tex & (ttype == 1)  # TEX_CHECKERBOARD
+    c1 = jnp.where(is_tex[:, None], tex.value1[safe], kd)
+    c2 = jnp.where(is_chk[:, None], tex.value2[safe], c1)
+    vs = tex.vs[safe]
+    vt = tex.vt[safe]
+    ds = tex.dsdt[safe]
+    # uniform-scale sigma^2 from w2o: rows of w2o_lin have norm 1/sigma
+    w2o = prims.world_to_obj
+    lin = w2o[:, :3, :3]
+    inv_s2 = jnp.sum(lin[:, 0, :] * lin[:, 0, :], axis=-1)
+    scale2 = 1.0 / jnp.maximum(inv_s2, 1e-30)
+    cols = [
+        c1,
+        c2,
+        is_chk.astype(jnp.float32)[:, None],
+        vs,
+        vt,
+        ds,
+        prims.area_light_id.astype(jnp.float32)[:, None],
+        scale2[:, None],
+        jnp.zeros((prims.count, 1), jnp.float32),
+    ]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _light_tables(scene):
+    """(ltype i32[L], lpos f32[L,3], lint f32[L,3], laux f32[L,8])."""
+    lights = scene.lights
+    o2w = lights.o2w
+    center = o2w[:, :3, 3]
+    scale = jnp.sqrt(jnp.sum(o2w[:, :3, 0] * o2w[:, :3, 0], axis=-1))
+    radius_w = lights.params[:, 0] * scale
+    laux = jnp.concatenate(
+        [
+            lights.two_sided.astype(jnp.float32)[:, None],
+            center,
+            radius_w[:, None],
+            scene.light_func[:, None],
+            jnp.zeros((lights.count, 2), jnp.float32),
+        ],
+        axis=1,
+    )
+    return lights.light_type, lights.p, lights.intensity, laux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "rr_start", "rr_threshold", "interpret"),
+)
+def _li_fused_fwd(
+    scene, o, d, pixel, sample, seed,
+    max_depth=10, rr_start=3, rr_threshold=1.0, interpret=False,
+):
+    n = o.shape[0]
+    prims = scene.prims
+    p_cnt = prims.count
+    l_cnt = scene.lights.count
+    pad = (-n) % BLOCK
+    if pad:
+        zf = jnp.zeros((pad,), jnp.float32)
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))]
+        )
+        pixel = jnp.concatenate([pixel, jnp.zeros((pad,), jnp.uint32)])
+        sample = jnp.concatenate([sample, jnp.zeros((pad,), jnp.uint32)])
+        alive0 = jnp.concatenate([jnp.ones((n,), jnp.float32), zf])
+    else:
+        alive0 = jnp.ones((n,), jnp.float32)
+    total = n + pad
+    rows = total // LANE
+
+    def as2d(x):
+        return x.reshape(rows, LANE)
+
+    grid = (rows // SUB,)
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM
+    )
+    pinfo = prims.pinfo
+    kernel = functools.partial(
+        _mega_kernel,
+        p_cnt, l_cnt, max_depth, rr_start, rr_threshold,
+        prims.types,
+        pinfo.all_full_spheres if pinfo is not None else False,
+        pinfo.all_full_disks if pinfo is not None else False,
+        True,  # any_checker: cheap; keep general
+    )
+    ltype, lpos, lint, laux = _light_tables(scene)
+    lcdf = scene.light_cdf
+    scal = jnp.stack(
+        [
+            scene.light_func_int.astype(jnp.float32),
+            scene.world_radius.astype(jnp.float32),
+            jnp.float32(0.0),
+            jnp.float32(0.0),
+        ]
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem((1,)),          # seed
+            smem((p_cnt,)),      # ptype
+            smem((p_cnt, 12)),   # w2o
+            smem((p_cnt, 9)),    # params
+            smem((p_cnt, _SH_K)),  # shade
+            smem((l_cnt,)),      # ltype
+            smem((l_cnt, 3)),    # lpos
+            smem((l_cnt, 3)),    # lint
+            smem((l_cnt, _LA_K)),  # laux
+            smem((l_cnt + 1,)),  # lcdf
+            smem((4,)),          # scalars
+            ray_spec, ray_spec, ray_spec,  # o
+            ray_spec, ray_spec, ray_spec,  # d
+            ray_spec, ray_spec,  # pixel, sample
+            ray_spec,            # alive
+        ],
+        out_specs=[ray_spec, ray_spec, ray_spec],
+        out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 3,
+        interpret=interpret,
+    )(
+        jnp.asarray(seed, jnp.uint32).reshape(1),
+        prims.prim_type,
+        _flatten_w2o(prims),
+        prims.params,
+        _shade_table(scene),
+        ltype,
+        lpos,
+        lint,
+        laux,
+        lcdf,
+        scal,
+        as2d(o[:, 0]), as2d(o[:, 1]), as2d(o[:, 2]),
+        as2d(d[:, 0]), as2d(d[:, 1]), as2d(d[:, 2]),
+        as2d(pixel.astype(jnp.uint32)), as2d(sample.astype(jnp.uint32)),
+        as2d(alive0),
+    )
+    L = jnp.stack([x.reshape(total)[:n] for x in outs], axis=-1)
+    # NaN/Inf sanitization (renderWorker, integrator.go:256-262)
+    bad = ~jnp.all(jnp.isfinite(L), axis=-1)
+    return jnp.where(bad[..., None], 0.0, jnp.maximum(L, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: megakernel forward, path-replay backward.
+#
+# The kernel is forward-only.  For gradients we re-trace the SAME paths
+# through the differentiable jnp wavefront chain (identical RNG streams, so
+# the replayed estimator equals the primal up to float noise) and
+# backpropagate there — path-replay backpropagation, the standard trick for
+# megakernel differentiable renderers.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _make_fused(cfg, interpret):
+    """custom_vjp closure per static (cfg, interpret).  All traced values
+    (scene, rays, counters, seed) are explicit arguments — custom_vjp
+    functions must not close over tracers."""
+
+    @jax.custom_vjp
+    def f(scene, o, d, pixel, sample, seed):
+        return _li_fused_fwd(
+            scene, o, d, pixel, sample, seed,
+            max_depth=cfg.max_depth, rr_start=cfg.rr_start_depth,
+            rr_threshold=cfg.rr_threshold, interpret=interpret,
+        )
+
+    def fwd(scene, o, d, pixel, sample, seed):
+        return f(scene, o, d, pixel, sample, seed), (
+            scene, o, d, pixel, sample, seed,
+        )
+
+    def bwd(res, g):
+        from gopbrt_tpu.models import integrators
+
+        scene, o, d, pixel, sample, seed = res
+
+        def replay(scene, o, d):
+            return integrators._li_jnp(scene, o, d, pixel, sample, seed, cfg)
+
+        _, vjp = jax.vjp(replay, scene, o, d)
+        gs, go, gd = vjp(g)
+        f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
+        return gs, go, gd, f0(pixel), f0(sample), f0(seed)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def path_li_fused(scene, o, d, pixel, sample, seed, cfg, interpret=False):
+    """Drop-in for integrators.li on fast-path scenes (scene.fastinfo.ok):
+    megakernel forward, path-replay backward through the jnp chain."""
+    n = o.shape[0]
+    pixel = jnp.broadcast_to(jnp.asarray(pixel, jnp.uint32), (n,))
+    sample = jnp.broadcast_to(jnp.asarray(sample, jnp.uint32), (n,))
+    return _make_fused(cfg, interpret)(
+        scene, o, d, pixel, sample, jnp.asarray(seed, jnp.uint32)
+    )

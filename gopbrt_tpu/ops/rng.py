@@ -24,6 +24,27 @@ from gopbrt_tpu.ops.geom import ONE_MINUS_EPSILON
 
 _GOLDEN = jnp.uint32(0x9E3779B9)
 
+# ---------------------------------------------------------------------------
+# Sampling-dimension layout (the static dimension assignment described in the
+# module docstring).  Lives here — not in models/integrators.py — because the
+# Pallas megakernel (ops/pallas_megakernel.py) must consume the *same* streams
+# as the jnp integrator chain; integrators re-exports these names.
+# dims 0-4: camera (pixel jitter x2, lens x2, time); then a fixed
+# stride of dimensions per bounce.
+# ---------------------------------------------------------------------------
+DIM_CAMERA = 0
+DIMS_PER_BOUNCE = 16
+DIM_BOUNCE_BASE = 5
+# within a bounce:
+D_LIGHT_PICK = 0
+D_LIGHT_UV = 1  # +2
+D_BSDF_UV = 3  # +2
+D_BSDF_LOBE = 5
+D_RR = 6
+D_SSS = 7  # +4: entry Fresnel, probe axis, channel+radius, azimuth
+D_MEDIUM = 11  # +2: channel pick, distance
+D_PHASE = 13  # +2: HG cos-theta, azimuth
+
 
 def hash_u32(x: jnp.ndarray) -> jnp.ndarray:
     """High-quality 32-bit finalizer (lowbias32). Pure, vectorised."""

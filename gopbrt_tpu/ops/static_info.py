@@ -54,5 +54,28 @@ class MatInfo:
     any_oren_nayar: bool = True
 
 
+@jax.tree_util.register_static
+@dataclass(frozen=True)
+class FastPathInfo:
+    """Whether the scene fits the fused Pallas bounce megakernel
+    (ops/pallas_megakernel.py) — the closed fast-path feature set:
+
+      shapes     sphere / disk only
+      materials  matte with sigma == 0, no bump, no subsurface
+      kd texture constant, or checkerboard with PLANAR mapping
+      lights     point / distant / sphere diffuse-area, global (non-spatial)
+                 light distribution, 1..16 lights
+      transforms rigid (+ uniform scale), det > 0, no reverse_orientation
+      media      none
+
+    Computed host-side by SceneBuilder.build(); rides Scene as registered
+    static aux data so the jit cache keys on it.  ``ok=False`` (or a Scene
+    built without the builder, fastinfo=None) falls back to the jnp
+    wavefront chain in models/integrators.py.
+    """
+
+    ok: bool = False
+
+
 ALL_PRIMS: Optional[PrimInfo] = None  # None = assume everything (tests)
 ALL_MATS: Optional[MatInfo] = None

@@ -1,0 +1,98 @@
+"""Megakernel vs jnp-chain cross-check.
+
+The fused Pallas bounce megakernel (ops/pallas_megakernel.py) consumes the
+SAME counter-based RNG streams (ops/rng.py dimension layout) and mirrors the
+jnp wavefront chain op-for-op, so on a fast-path scene both backends trace
+the same paths: per-lane radiance must agree to float tolerance except for
+the rare lane where a discrete decision (hit selection, shadow occlusion,
+RR accept) flips on float noise (the kernel's spawn offset is a conservative
+approximation of the jnp chain's exact transformed error bound).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gopbrt_tpu.models import integrators
+from gopbrt_tpu.models import render as render_mod
+from gopbrt_tpu.models.demo import build_demo_camera, build_demo_scene
+from gopbrt_tpu.models import camera as cam_mod
+from gopbrt_tpu.ops import pallas_megakernel as mk
+
+
+@pytest.fixture(scope="module")
+def demo():
+    scene = build_demo_scene(accelerator="none")
+    w, h = 64, 36
+    camera = build_demo_camera(w, h)
+    settings = render_mod.RenderSettings(width=w, height=h, spp=1, max_depth=5)
+    pixel = jnp.arange(w * h, dtype=jnp.uint32)
+    sample = jnp.zeros((w * h,), jnp.uint32)
+    p_film, u_lens = render_mod.camera_samples(settings, pixel, sample, jnp.uint32(7))
+    o, d = cam_mod.generate_rays(camera, p_film, u_lens)
+    return scene, o, d, pixel, sample
+
+
+def test_fastinfo_demo_scene_eligible(demo):
+    scene = demo[0]
+    assert scene.fastinfo is not None and scene.fastinfo.ok
+
+
+def test_fastinfo_rejects_glass():
+    from gopbrt_tpu.models.scene import SceneBuilder
+    from gopbrt_tpu.ops import geom
+
+    b = SceneBuilder()
+    m = b.glass()
+    b.sphere(geom.translate([0.0, 0.0, 0.0]), 1.0, m)
+    b.point_light(p=(0.0, 5.0, 0.0), intensity=(1.0, 1.0, 1.0))
+    scene = b.build(accelerator="none")
+    assert not scene.fastinfo.ok
+
+
+@pytest.mark.parametrize("depth", [1, 5])
+def test_megakernel_matches_jnp_chain(demo, depth):
+    scene, o, d, pixel, sample = demo
+    cfg = integrators.PathConfig(max_depth=depth, rr_threshold=1.0)
+    seed = jnp.uint32(7)
+    ref = np.asarray(integrators._li_jnp(scene, o, d, pixel, sample, seed, cfg))
+    got = np.asarray(
+        mk.path_li_fused(scene, o, d, pixel, sample, seed, cfg, interpret=True)
+    )
+    assert np.all(np.isfinite(got))
+    diff = np.abs(got - ref).max(axis=-1)
+    scale = 1e-3 + np.abs(ref).max(axis=-1)
+    rel = diff / scale
+    # nearly every lane identical; allow a small tail of discrete flips
+    assert np.mean(rel < 1e-3) > 0.99, (
+        f"lane agreement {np.mean(rel < 1e-3):.4f}"
+    )
+    # aggregate radiance must match tightly (flips average out)
+    assert abs(got.mean() - ref.mean()) < 2e-3 * max(ref.mean(), 1e-6)
+
+
+def test_megakernel_gradient_path_replay(demo):
+    """path_li_fused is differentiable via path-replay through the jnp
+    chain: d(sum L)/d(light intensity) must equal the jnp chain's."""
+    scene, o, d, pixel, sample = demo
+    n = 512
+    o, d, pixel, sample = o[:n], d[:n], pixel[:n], sample[:n]
+    cfg = integrators.PathConfig(max_depth=2, rr_threshold=1.0)
+    seed = jnp.uint32(7)
+
+    def loss_fused(intensity):
+        sc = scene._replace(lights=scene.lights._replace(intensity=intensity))
+        return jnp.sum(
+            mk.path_li_fused(sc, o, d, pixel, sample, seed, cfg, interpret=True)
+        )
+
+    def loss_jnp(intensity):
+        sc = scene._replace(lights=scene.lights._replace(intensity=intensity))
+        return jnp.sum(integrators._li_jnp(sc, o, d, pixel, sample, seed, cfg))
+
+    g_fused = jax.grad(loss_fused)(scene.lights.intensity)
+    g_ref = jax.grad(loss_jnp)(scene.lights.intensity)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=1e-5, atol=1e-7
+    )
