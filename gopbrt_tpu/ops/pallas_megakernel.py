@@ -99,10 +99,10 @@ def _hash_combine(h, v):
 
 
 def _to_unit(x):
-    return jnp.minimum(
-        x.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10),
-        jnp.float32(ONE_MINUS_EPSILON),
-    )
+    """u32 -> f32 in [0,1) — MUST match ops/rng.u32_to_unit bit-for-bit
+    (mantissa trick; Mosaic has no u32->f32 convert)."""
+    bits = jnp.uint32(0x3F800000) | (x >> jnp.uint32(9))
+    return jax.lax.bitcast_convert_type(bits, jnp.float32) - 1.0
 
 
 def _dot3(ax, ay, az, bx, by, bz):

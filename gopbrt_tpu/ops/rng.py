@@ -18,6 +18,7 @@ cheap enough to inline in Pallas kernels (integer ops on the VPU).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gopbrt_tpu.ops.geom import ONE_MINUS_EPSILON
@@ -75,11 +76,14 @@ def stream_u32(seed, pixel, sample, dim) -> jnp.ndarray:
 
 
 def u32_to_unit(x: jnp.ndarray) -> jnp.ndarray:
-    """uint32 -> f32 in [0, 1)."""
-    return jnp.minimum(
-        x.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10),
-        jnp.float32(ONE_MINUS_EPSILON),
-    )
+    """uint32 -> f32 in [0, 1): top 23 bits become the mantissa of a float
+    in [1, 2), minus 1.  Exactly uniform over {k*2^-23}; max value is
+    exactly ONE_MINUS_EPSILON; and — unlike a u32->f32 convert — lowers on
+    the Pallas TPU path (Mosaic has no u32->f32 cast), so the megakernel
+    consumes bit-identical streams.
+    """
+    bits = jnp.uint32(0x3F800000) | (x >> jnp.uint32(9))
+    return jax.lax.bitcast_convert_type(bits, jnp.float32) - 1.0
 
 
 def sample_1d(seed, pixel, sample, dim) -> jnp.ndarray:

@@ -151,18 +151,18 @@ class TestDeterminismAndSeeds:
 
 
 class TestDemoScene:
-    def test_demo_smoke_with_bvh_matches_bruteforce(self):
-        scene_bvh = build_demo_scene(accelerator="bvh")
-        scene_bf = scene_bvh._replace(bvh=None)
+    def test_demo_smoke(self):
+        # NOTE: the demo scene has 24 prims — below BRUTE_FORCE_CUTOFF the
+        # integrator always runs the dense masked test, so this is a smoke
+        # test only; the BVH-in-anger oracle test is TestMeshBVH below.
+        scene = build_demo_scene(accelerator="bvh")
         cam = build_demo_camera(48, 27)
         settings = render_mod.RenderSettings(
             width=48, height=27, spp=2, max_depth=3, samples_per_pass=1
         )
-        a = np.asarray(render_mod.render(scene_bvh, cam, settings))
-        b = np.asarray(render_mod.render(scene_bf, cam, settings))
+        a = np.asarray(render_mod.render(scene, cam, settings))
         assert np.isfinite(a).all()
-        # identical sample streams + equivalent intersection -> near-identical
-        assert (np.abs(a - b) < 2e-2).mean() > 0.995
+        assert a.mean() > 0.0
 
     def test_checkerboard_has_two_tones(self):
         scene = build_demo_scene(accelerator="bvh")
@@ -178,6 +178,54 @@ class TestDemoScene:
         assert lit.size > 50
         # bimodal floor: bright and dark checker tiles both present
         assert (lit > np.median(lit) * 1.5).any() or (lit < np.median(lit) * 0.6).any()
+
+
+class TestMeshBVH:
+    """BVH in anger: a triangle-mesh scene above BRUTE_FORCE_CUTOFF renders
+    through the lockstep BVH traversal end-to-end and must agree with the
+    brute-force oracle — the reference's own BVH test strategy
+    (bvh_test.go vs simple_test.go) lifted to a full render.  BASELINE
+    config 3 workload (mesh + SAH BVH + textured matte/plastic)."""
+
+    def test_mesh_render_bvh_matches_bruteforce(self):
+        from gopbrt_tpu.models import integrators as I
+        from gopbrt_tpu.models.meshes import build_mesh_scene, mesh_camera
+
+        scene = build_mesh_scene(n_lat=16, n_lon=16)  # 480 tris + disk + sphere
+        assert scene.bvh is not None
+        assert scene.prims.count > I.BRUTE_FORCE_CUTOFF  # BVH actually used
+        scene_bf = scene._replace(bvh=None)
+        # force the brute path despite count (oracle arm)
+        old = I.BRUTE_FORCE_CUTOFF
+        cam = mesh_camera(32, 18)
+        settings = render_mod.RenderSettings(
+            width=32, height=18, spp=2, max_depth=3, samples_per_pass=1
+        )
+        a = np.asarray(render_mod.render(scene, cam, settings))
+        try:
+            I.BRUTE_FORCE_CUTOFF = 10**9
+            b = np.asarray(render_mod.render(scene_bf, cam, settings))
+        finally:
+            I.BRUTE_FORCE_CUTOFF = old
+        assert np.isfinite(a).all()
+        assert a.mean() > 0.01  # scene is lit
+        # identical sample streams + equivalent intersection -> near-identical
+        assert (np.abs(a - b) < 2e-2).mean() > 0.995
+
+    def test_mesh_10k_tris_smoke(self):
+        from gopbrt_tpu.models.meshes import build_mesh_scene, mesh_camera, uv_sphere
+
+        verts, idx = uv_sphere(72, 72)
+        assert idx.shape[0] >= 10_000  # >=10k-triangle mesh
+        scene = build_mesh_scene(n_lat=72, n_lon=72)
+        cam = mesh_camera(24, 14)
+        settings = render_mod.RenderSettings(
+            width=24, height=14, spp=1, max_depth=2, samples_per_pass=1
+        )
+        img = np.asarray(render_mod.render(scene, cam, settings))
+        assert np.isfinite(img).all()
+        # the mesh occupies the image center and is lit
+        assert img[4:10, 8:16].mean() > 0.01
 
 
 class TestCompaction:
