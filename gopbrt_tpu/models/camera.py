@@ -142,6 +142,32 @@ def generate_rays(cam: Camera, p_film: jnp.ndarray, u_lens: jnp.ndarray):
     return o_w, normalize(d_w)
 
 
+def pixel_spread(cam: Camera):
+    """Ray-cone parameters of one pixel: (width0, spread) such that the
+    world-space footprint of a camera ray at hit distance t is
+    ``width0 + spread * t``.
+
+    This is the wavefront replacement for per-ray differentials
+    (GenerateRayDifferential + ComputeDifferentials,
+    ``pkg/pbrt/camera.go:192-242`` / ``pkg/pbrt/interaction.go:225-297``):
+    instead of carrying dpdx/dpdy point pairs per lane, carry one cone
+    width that grows linearly along the ray — exact for the isotropic
+    footprint of a pinhole pixel, and cheap enough to ride the path state.
+    """
+    r2c = cam.raster_to_camera
+    p0 = geom.apply_point(r2c, jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32))[0]
+    p1 = geom.apply_point(r2c, jnp.asarray([[1.0, 1.0, 0.0]], jnp.float32))[0]
+    dx = (p1 - p0) * jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+    pix = jnp.sqrt(jnp.maximum(geom.length_sq(dx), 1e-30)) * (1.0 / jnp.sqrt(2.0))
+    is_persp = cam.kind == CAM_PERSPECTIVE
+    # perspective: angular size of a pixel on the image plane;
+    # orthographic: constant footprint, no growth
+    ang = pix / jnp.sqrt(jnp.maximum(geom.length_sq(p0), 1e-30))
+    width0 = jnp.where(is_persp, 0.0, pix)
+    spread = jnp.where(is_persp, ang, 0.0)
+    return width0, spread
+
+
 def look_at_camera(eye, target, up, **kw) -> Camera:
     """Convenience: LookAt + perspective (server.go:152-159 pattern)."""
     return perspective_camera(geom.look_at(eye, target, up), **kw)

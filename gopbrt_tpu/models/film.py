@@ -126,6 +126,39 @@ def add_samples_rows(film: Film, row0, jitter: jnp.ndarray, L: jnp.ndarray,
     )
 
 
+def splat_band_halo(row0, jitter: jnp.ndarray, L: jnp.ndarray, h_img: int,
+                    filt: Filter = box_filter(1.0)):
+    """Band splat returning the halo-extended accumulators instead of
+    folding into a film: (rgb f32[rows+2*rr, W, 3], w f32[rows+2*rr, W])
+    where rr = ceil(filter radius).  The first/last rr rows are the filter
+    taps that land on the neighbouring bands — the per-device piece of the
+    band-sharded film (parallel/shard.py exchanges them over ICI with
+    ppermute instead of psum-ing a replicated full film).
+
+    Same tap math as :func:`add_samples_rows`; samples on padding rows at or
+    beyond ``h_img`` are masked out.
+    """
+    rows, w_img = L.shape[0], L.shape[1]
+    r = filt.radius
+    rr = int(np.ceil(r))
+    jx = jitter[..., 0]
+    jy = jitter[..., 1]
+    row_valid = (
+        jnp.asarray(row0, jnp.int32) + jnp.arange(rows, dtype=jnp.int32)
+    ) < h_img
+    acc_rgb = jnp.zeros((rows + 2 * rr, w_img + 2 * rr, 3), jnp.float32)
+    acc_w = jnp.zeros((rows + 2 * rr, w_img + 2 * rr), jnp.float32)
+    for oy in range(-rr, rr + 1):
+        for ox in range(-rr, rr + 1):
+            fw = evaluate(filt, ox + 0.5 - jx, oy + 0.5 - jy)
+            fw = jnp.where(row_valid[:, None], fw, 0.0)
+            ys = slice(oy + rr, oy + rr + rows)
+            xs = slice(ox + rr, ox + rr + w_img)
+            acc_rgb = acc_rgb.at[ys, xs].add(fw[..., None] * L)
+            acc_w = acc_w.at[ys, xs].add(fw)
+    return acc_rgb[:, rr : rr + w_img], acc_w[:, rr : rr + w_img]
+
+
 def merge(a: Film, b: Film) -> Film:
     """Combine two accumulations (MergeFilmTile semantics, film.go:115-132
     — but associative/commutative, so it's also the psum reducer)."""

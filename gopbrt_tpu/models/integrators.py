@@ -107,6 +107,7 @@ def _megakernel_on(scene: Scene, cfg: "PathConfig") -> bool:
         enabled
         and scene.fastinfo is not None
         and getattr(scene.fastinfo, "ok", False)
+        and scene.prims.anim is None
         and scene.prims.count <= BRUTE_FORCE_CUTOFF  # kernel is brute-force
         and cfg.nee
         and cfg.mis
@@ -115,38 +116,51 @@ def _megakernel_on(scene: Scene, cfg: "PathConfig") -> bool:
     )
 
 
-def _scene_intersect(scene: Scene, o, d, t_max):
+def _scene_intersect(scene: Scene, o, d, t_max, time=None):
     """Closest hit -> (hit, t, prim_idx); BVH when attached, else brute.
 
     Intersection search is a discrete decision — detached from autodiff
     (detached-sampling estimator); shading re-derives hit geometry
     differentiably from (t, prim_idx) in surface_interaction.
+
+    time: per-lane shutter times [0,1] — only consulted when the scene has
+    animated primitives (prims.anim); static scenes compile it out.
     """
+    anim = scene.prims.anim is not None and time is not None
     if scene.bvh is not None and scene.prims.count > BRUTE_FORCE_CUTOFF:
         from gopbrt_tpu.ops import bvh as bvh_mod
 
-        return bvh_mod.bvh_intersect(scene.bvh, scene.prims, o, d, t_max)
-    if _pallas_on():
+        return bvh_mod.bvh_intersect(
+            scene.bvh, scene.prims, o, d, t_max, time=time if anim else None
+        )
+    if _pallas_on() and not anim:
         from gopbrt_tpu.ops import pallas_intersect as pk
 
         sg = jax.lax.stop_gradient
         return pk.intersect_brute_pallas(scene.prims, sg(o), sg(d), sg(t_max))
-    return isect.intersect_brute(scene.prims, o, d, t_max)
+    return isect.intersect_brute(
+        scene.prims, o, d, t_max, time=time if anim else None
+    )
 
 
-def _scene_intersect_p(scene: Scene, o, d, t_max):
+def _scene_intersect_p(scene: Scene, o, d, t_max, time=None):
+    anim = scene.prims.anim is not None and time is not None
     if scene.bvh is not None and scene.prims.count > BRUTE_FORCE_CUTOFF:
         from gopbrt_tpu.ops import bvh as bvh_mod
 
-        return bvh_mod.bvh_intersect_p(scene.bvh, scene.prims, o, d, t_max)
-    if _pallas_on():
+        return bvh_mod.bvh_intersect_p(
+            scene.bvh, scene.prims, o, d, t_max, time=time if anim else None
+        )
+    if _pallas_on() and not anim:
         from gopbrt_tpu.ops import pallas_intersect as pk
 
         sg = jax.lax.stop_gradient
         return pk.intersect_p_brute_pallas(
             scene.prims, sg(o), sg(d), sg(t_max)
         )
-    return isect.intersect_p_brute(scene.prims, o, d, t_max)
+    return isect.intersect_p_brute(
+        scene.prims, o, d, t_max, time=time if anim else None
+    )
 
 
 def _voxel_flat(scene: Scene, p):
@@ -223,7 +237,9 @@ def _apply_bump(scene: Scene, si: isect.SurfaceInteraction, mid):
     return si._replace(ns=ns)
 
 
-def _material_at(scene: Scene, si: isect.SurfaceInteraction) -> bsdf_ops.MaterialParams:
+def _material_at(
+    scene: Scene, si: isect.SurfaceInteraction, fw=None
+) -> bsdf_ops.MaterialParams:
     """Gather + texture-evaluate material params at hits — the wavefront
     counterpart of ComputeScatteringFunctions (interaction.go:217-223 ->
     matte.go:21-37 etc.).
@@ -248,7 +264,7 @@ def _material_at(scene: Scene, si: isect.SurfaceInteraction) -> bsdf_ops.Materia
     rows = isect.gather_rows(packed, mid)
     kd_const = rows[..., 0:3]
     kd_tex = mats.kd_tex[mid]
-    kd_sampled = tex_ops.eval_spectrum(scene.textures, kd_tex, si.p, si.uv)
+    kd_sampled = tex_ops.eval_spectrum(scene.textures, kd_tex, si.p, si.uv, fw=fw)
     kd = jnp.where((kd_tex >= 0)[..., None], kd_sampled, kd_const)
     return bsdf_ops.MaterialParams(
         mat_type=mats.mat_type[mid],
@@ -276,7 +292,7 @@ def _where_si(mask, a: isect.SurfaceInteraction, b: isect.SurfaceInteraction):
 
 
 def _subsurface_transport(
-    scene: Scene, si, mp, beta, alive, seed, pixel, sample, dim_base
+    scene: Scene, si, mp, beta, alive, seed, pixel, sample, dim_base, time=None
 ):
     """BSSRDF transport at subsurface entry hits — the working version of
     the reference's dead hook (path.go:120-141): S = (1-Fr(θo))·Sp·Sw.
@@ -346,12 +362,14 @@ def _subsurface_transport(
     probe_d = -vz
     # dead lanes carry a zero-length probe (cheap in lockstep traversal)
     t_probe = jnp.where(transmit & ok_r, chord, 1e-5)
-    hit_p, t_p, prim_p = _scene_intersect(scene, p0, probe_d, t_probe)
+    hit_p, t_p, prim_p = _scene_intersect(scene, p0, probe_d, t_probe, time=time)
     t_p = jax.lax.stop_gradient(t_p)
     prim_p = jax.lax.stop_gradient(prim_p)
     same_mat = scene.prims.material_id[prim_p] == mid
     ok = transmit & ok_r & hit_p & same_mat
-    si_exit = isect.surface_interaction(scene.prims, ok, t_p, prim_p, p0, probe_d)
+    si_exit = isect.surface_interaction(
+        scene.prims, ok, t_p, prim_p, p0, probe_d, time=time
+    )
     # the exit lobe Sw lives on the outward hemisphere: orient the frame by
     # the geometric normal and make wo degenerate-safe (+n)
     si_exit = si_exit._replace(ns=si_exit.n, wo=si_exit.n)
@@ -391,7 +409,7 @@ def _to_world(ss, ts, ns, v):
 
 def _estimate_direct(
     scene: Scene, si, mp, ss, ts, ns, active, seed, pixel, sample, dim_base,
-    medium_scatter=None,
+    medium_scatter=None, time=None,
 ):
     """One-light NEE with MIS — UniformSampleOneLight + EstimateDirect
     (integrator.go:48-77, 79-195) over the wavefront.
@@ -449,7 +467,9 @@ def _estimate_direct(
         # medium vertices have no surface to offset from
         o_sh = jnp.where(medium_scatter[..., None], si.p, o_sh)
     t_sh = ls.dist * (1.0 - geom.SHADOW_EPSILON) - 1e-3
-    occluded = _scene_intersect_p(scene, o_sh, ls.wi, jnp.maximum(t_sh, 1e-4))
+    occluded = _scene_intersect_p(
+        scene, o_sh, ls.wi, jnp.maximum(t_sh, 1e-4), time=time
+    )
     vis = contributes & ~occluded
 
     # delta lights: unweighted; area lights: power heuristic
@@ -487,10 +507,16 @@ class PathState(NamedTuple):
     prev_bsdf_pdf: jnp.ndarray  # f32[N] pdf of the ray's BSDF sample (MIS)
     pixel: jnp.ndarray  # uint32[N] pixel counter (RNG stream key)
     sample: jnp.ndarray  # uint32[N] sample counter (RNG stream key)
+    time: jnp.ndarray  # f32[N] shutter time (camera.go GetCameraSample's
+    #   CameraSample.Time -> Ray.Time; drives animated-transform interp)
+    cone_w: jnp.ndarray  # f32[N] ray-cone footprint width at the origin —
+    #   the wavefront ComputeDifferentials (interaction.go:225-297): grows
+    #   by cone_spread*t per segment; drives texture filtering
 
 
 def _bounce_once(
-    scene: Scene, cfg: PathConfig, seed, bounce_idx, st: PathState
+    scene: Scene, cfg: PathConfig, seed, bounce_idx, st: PathState,
+    cone_spread=None,
 ) -> PathState:
     """One path-tracing bounce over a wavefront (full-width or a compacted
     chunk).  bounce_idx may be traced (compacted while_loop) or static."""
@@ -499,13 +525,15 @@ def _bounce_once(
     dim_base = DIM_BOUNCE_BASE + bounce_idx * DIMS_PER_BOUNCE
 
     t_max = jnp.full((n,), 1e30, jnp.float32)
-    hit, t, prim_idx = _scene_intersect(scene, st.o, st.d, t_max)
+    hit, t, prim_idx = _scene_intersect(scene, st.o, st.d, t_max, time=st.time)
     hit = hit & st.alive
     # detach the discrete intersection result; shading below re-derives
     # geometry differentiably from (prim_idx, t)
     t = jax.lax.stop_gradient(t)
     prim_idx = jax.lax.stop_gradient(prim_idx)
-    si = isect.surface_interaction(scene.prims, hit, t, prim_idx, st.o, st.d)
+    si = isect.surface_interaction(
+        scene.prims, hit, t, prim_idx, st.o, st.d, time=st.time
+    )
 
     # participating medium (compiled out when scene.medium is None): sample
     # a scatter distance against the surface hit — HomogeneousMedium.Sample
@@ -573,7 +601,19 @@ def _bounce_once(
     alive = st.alive & (hit if scatter is None else (hit | scatter))
 
     si = _apply_bump(scene, si, scene.prims.material_id[si.prim_idx])
-    mp = _material_at(scene, si)
+    if cone_spread is not None:
+        # ray-cone texture footprint at the hit (curvature-free growth);
+        # projected onto the surface the footprint stretches by 1/cos of
+        # the incidence angle (ComputeDifferentials' plane projection,
+        # interaction.go:241-262) — fold it in, capped at grazing
+        fw_hit = st.cone_w + cone_spread * jnp.abs(t)
+        fw_surf = fw_hit * jax.lax.rsqrt(
+            jnp.maximum(geom.absdot(si.n, si.wo), 0.05)
+        )
+    else:
+        fw_hit = None
+        fw_surf = None
+    mp = _material_at(scene, si, fw=fw_surf)
     if scatter is not None:
         # splice medium vertices into the wavefront: position at the
         # scatter point, frame facing back along the ray (MediumInteraction,
@@ -598,14 +638,15 @@ def _bounce_once(
         # BSSRDF transport (compiled out for scenes without subsurface
         # materials): may splice si to the exit point and scale beta
         si, mp, beta0, alive = _subsurface_transport(
-            scene, si, mp, beta0, alive, seed, pixel, sample, dim_base
+            scene, si, mp, beta0, alive, seed, pixel, sample, dim_base,
+            time=st.time,
         )
     ss, ts, ns = _shading_frame(si)
 
     if cfg.nee:
         L = L + beta0 * _estimate_direct(
             scene, si, mp, ss, ts, ns, alive, seed, pixel, sample, dim_base,
-            medium_scatter=scatter,
+            medium_scatter=scatter, time=st.time,
         )
 
     # BSDF sampling (path.go:91-101)
@@ -668,6 +709,8 @@ def _bounce_once(
         prev_bsdf_pdf=jax.lax.stop_gradient(next_pdf),
         pixel=pixel,
         sample=sample,
+        time=st.time,
+        cone_w=(st.cone_w if cone_spread is None else fw_hit),
     )
 
 
@@ -681,7 +724,9 @@ def _where_state(mask, a: PathState, b: PathState) -> PathState:
     return PathState(*(w(x, y) for x, y in zip(a, b)))
 
 
-def _li_compacted(scene: Scene, state: PathState, seed, cfg: PathConfig):
+def _li_compacted(
+    scene: Scene, state: PathState, seed, cfg: PathConfig, cone_spread=None
+):
     """Compacted bounce loop: alive lanes are argsort-compacted to the
     front each bounce and processed in ceil(alive/C) chunks of static size
     C — dead-lane work drops with the wavefront (RR kills >95% of lanes by
@@ -726,7 +771,9 @@ def _li_compacted(scene: Scene, state: PathState, seed, cfg: PathConfig):
             sub = gather(st, idx)
             active = (i * c + jnp.arange(c, dtype=jnp.int32)) < m
             sub_in = sub._replace(alive=sub.alive & active)
-            sub_out = _bounce_once(scene, cfg, seed, bounce_idx, sub_in)
+            sub_out = _bounce_once(
+                scene, cfg, seed, bounce_idx, sub_in, cone_spread
+            )
             # inactive slots write back their original values (no-ops)
             sub_out = _where_state(active, sub_out, sub)
             return scatter(st, idx, sub_out)
@@ -750,10 +797,13 @@ def li(
     sample: jnp.ndarray,
     seed,
     cfg: PathConfig = PathConfig(),
+    time=None,
+    cone=None,
 ) -> jnp.ndarray:
     """Wavefront Path.Li (path.go:32-157): radiance for rays (o, d)[N].
 
     pixel/sample: uint32 counters feeding the stateless sampler.
+    time: optional f32[N] shutter times (animated scenes).
     Fixes reference quirk #4: directly-visible emitters DO contribute
     (the reference increments `bounces` before its emission check,
     path.go:41-48, losing camera-visible lights).
@@ -766,8 +816,8 @@ def li(
     if _megakernel_on(scene, cfg):
         from gopbrt_tpu.ops import pallas_megakernel as mk
 
-        return mk.path_li_fused(scene, o, d, pixel, sample, seed, cfg)
-    return _li_jnp(scene, o, d, pixel, sample, seed, cfg)
+        return mk.path_li_fused(scene, o, d, pixel, sample, seed, cfg, cone=cone)
+    return _li_jnp(scene, o, d, pixel, sample, seed, cfg, time=time, cone=cone)
 
 
 def _li_jnp(
@@ -778,8 +828,14 @@ def _li_jnp(
     sample: jnp.ndarray,
     seed,
     cfg: PathConfig = PathConfig(),
+    time=None,
+    cone=None,
 ) -> jnp.ndarray:
-    """The general jnp wavefront bounce loop (every feature; differentiable)."""
+    """The general jnp wavefront bounce loop (every feature; differentiable).
+
+    cone: optional (width0, spread) ray-cone scalars (camera.pixel_spread)
+    enabling filtered texture lookups; None point-samples textures.
+    """
     n = o.shape[0]
     f32 = jnp.float32
     state = PathState(
@@ -793,10 +849,16 @@ def _li_jnp(
         prev_bsdf_pdf=jnp.zeros((n,), f32),
         pixel=jnp.broadcast_to(pixel.astype(jnp.uint32), (n,)),
         sample=jnp.broadcast_to(sample.astype(jnp.uint32), (n,)),
+        time=(jnp.zeros((n,), f32) if time is None
+              else jnp.broadcast_to(jnp.asarray(time, f32), (n,))),
+        cone_w=jnp.broadcast_to(
+            jnp.asarray(0.0 if cone is None else cone[0], f32), (n,)
+        ),
     )
+    cone_spread = None if cone is None else cone[1]
 
     if cfg.compaction:
-        state = _li_compacted(scene, state, seed, cfg)
+        state = _li_compacted(scene, state, seed, cfg, cone_spread=cone_spread)
     elif cfg.early_exit:
         # full-width bounces, but stop as soon as every lane is dead
         # (forward-only: dynamic trip count)
@@ -806,14 +868,14 @@ def _li_jnp(
 
         def body(carry):
             i, st = carry
-            return i + 1, _bounce_once(scene, cfg, seed, i, st)
+            return i + 1, _bounce_once(scene, cfg, seed, i, st, cone_spread)
 
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     else:
         state = jax.lax.fori_loop(
             0,
             cfg.max_depth,
-            lambda i, st: _bounce_once(scene, cfg, seed, i, st),
+            lambda i, st: _bounce_once(scene, cfg, seed, i, st, cone_spread),
             state,
         )
 
@@ -832,6 +894,8 @@ def li_direct(
     sample: jnp.ndarray,
     seed,
     max_depth: int = 5,
+    time=None,
+    cone=None,
 ) -> jnp.ndarray:
     """Direct-lighting integrator (directlighting.go:62-101): one-bounce NEE
     plus recursion through *specular* surfaces only, expressed as a path
@@ -851,14 +915,22 @@ def li_direct(
         specular=jnp.ones((n,), bool), prev_bsdf_pdf=jnp.zeros((n,), f32),
         pixel=jnp.broadcast_to(pixel.astype(jnp.uint32), (n,)),
         sample=jnp.broadcast_to(sample.astype(jnp.uint32), (n,)),
+        time=(jnp.zeros((n,), f32) if time is None
+              else jnp.broadcast_to(jnp.asarray(time, f32), (n,))),
+        cone_w=jnp.broadcast_to(
+            jnp.asarray(0.0 if cone is None else cone[0], f32), (n,)
+        ),
     )
+    cone_spread = None if cone is None else cone[1]
 
     def bounce(bounce_idx, st):
         dim_base = DIM_BOUNCE_BASE + bounce_idx * DIMS_PER_BOUNCE
         t_max = jnp.full((n,), 1e30, f32)
-        hit, t, prim_idx = _scene_intersect(scene, st.o, st.d, t_max)
+        hit, t, prim_idx = _scene_intersect(scene, st.o, st.d, t_max, time=st.time)
         hit = hit & st.alive
-        si = isect.surface_interaction(scene.prims, hit, t, prim_idx, st.o, st.d)
+        si = isect.surface_interaction(
+            scene.prims, hit, t, prim_idx, st.o, st.d, time=st.time
+        )
         if scene.medium is not None:
             # absorption-only medium handling: Beer-Lambert Tr on every
             # camera/specular segment (matching the shadow-ray Tr applied in
@@ -877,15 +949,24 @@ def li_direct(
         )
         alive = st.alive & hit
         si = _apply_bump(scene, si, scene.prims.material_id[si.prim_idx])
-        mp = _material_at(scene, si)
+        if cone_spread is not None:
+            fw_hit = st.cone_w + cone_spread * jnp.abs(t)
+            fw_surf = fw_hit * jax.lax.rsqrt(
+                jnp.maximum(geom.absdot(si.n, si.wo), 0.05)
+            )
+        else:
+            fw_hit = fw_surf = None
+        mp = _material_at(scene, si, fw=fw_surf)
         beta0 = st.beta
         if scene.materials.sss_d is not None:
             si, mp, beta0, alive = _subsurface_transport(
-                scene, si, mp, beta0, alive, seed, pixel, sample, dim_base
+                scene, si, mp, beta0, alive, seed, pixel, sample, dim_base,
+                time=st.time,
             )
         ss, ts, ns = _shading_frame(si)
         L = L + beta0 * _estimate_direct(
-            scene, si, mp, ss, ts, ns, alive, seed, pixel, sample, dim_base
+            scene, si, mp, ss, ts, ns, alive, seed, pixel, sample, dim_base,
+            time=st.time,
         )
         # specular continuation only (directlighting.go:97-101)
         u_b = rng.sample_2d(seed, pixel, sample, dim_base + D_BSDF_UV)
@@ -902,7 +983,8 @@ def li_direct(
             o=isect.spawn_ray(si, wi_w), d=wi_w, beta=beta, L=L,
             eta_scale=st.eta_scale, alive=alive & ok,
             specular=jnp.ones((n,), bool), prev_bsdf_pdf=bs.pdf,
-            pixel=st.pixel, sample=st.sample,
+            pixel=st.pixel, sample=st.sample, time=st.time,
+            cone_w=(st.cone_w if cone_spread is None else fw_hit),
         )
 
     state = jax.lax.fori_loop(0, max_depth, bounce, state)

@@ -49,6 +49,11 @@ class RenderSettings(NamedTuple):
     # — off by default; kept for backends with fast scatter.  Its
     # dynamic-trip-count loops are also not reverse-mode differentiable.
     compaction: bool = False
+    # filtered texture lookups from a per-ray cone footprint (the
+    # wavefront ComputeDifferentials, camera.pixel_spread): anti-aliases
+    # procedural textures (checker closed-form box filter).  The footprint
+    # is scaled by 1/sqrt(spp) — ScaleDifferentials (integrator.go:246-247)
+    texture_aa: bool = True
     # wavefront chunk: pixels per launch segment inside a pass.  Bounds the
     # peak HBM footprint of the bounce loop's carried state (the analogue of
     # the reference's 16px tiles, integrator.go:297-299 — but chunked for
@@ -89,6 +94,21 @@ def camera_samples(settings: RenderSettings, pixel_idx, sample_idx, seed):
     return p_film, u_lens
 
 
+def camera_time(camera: cam_mod.Camera, pixel_idx, sample_idx, seed):
+    """Per-ray shutter time (CameraSample.Time, sampler.go:19-25): uniform
+    in [shutter_open, shutter_close], from the 5th camera dimension."""
+    u_t = rng.sample_1d(seed, pixel_idx, sample_idx, integrators.DIM_CAMERA + 4)
+    return camera.shutter_open + u_t * (camera.shutter_close - camera.shutter_open)
+
+
+
+def _cone(scene: Scene, camera, settings: RenderSettings):
+    if not settings.texture_aa:
+        return None
+    w0, spread = cam_mod.pixel_spread(camera)
+    s = 1.0 / float(np.sqrt(max(settings.spp, 1)))
+    return (w0 * s, spread * s)
+
 def render_wave(
     scene: Scene,
     camera: cam_mod.Camera,
@@ -104,17 +124,73 @@ def render_wave(
     seed = jnp.uint32(settings.seed)
     p_film, u_lens = camera_samples(settings, pixel_idx, sample_idx, seed)
     o, d = cam_mod.generate_rays(camera, p_film, u_lens)
+    time = (
+        camera_time(camera, pixel_idx, sample_idx, seed)
+        if scene.prims.anim is not None else None
+    )
     if settings.integrator == "direct":
         L = integrators.li_direct(
-            scene, o, d, pixel_idx, sample_idx, seed, max_depth=settings.max_depth
+            scene, o, d, pixel_idx, sample_idx, seed,
+            max_depth=settings.max_depth, time=time,
+            cone=_cone(scene, camera, settings),
         )
     else:
         cfg = integrators.PathConfig(
             max_depth=settings.max_depth, rr_threshold=settings.rr_threshold,
             compaction=settings.compaction,
         )
-        L = integrators.li(scene, o, d, pixel_idx, sample_idx, seed, cfg)
+        L = integrators.li(
+            scene, o, d, pixel_idx, sample_idx, seed, cfg, time=time,
+            cone=_cone(scene, camera, settings),
+        )
     return film_mod.add_samples(film, p_film, L, settings.filter)
+
+
+def band_jitter_radiance(
+    scene: Scene,
+    camera: cam_mod.Camera,
+    settings: RenderSettings,
+    row0: jnp.ndarray,
+    n_rows: int,
+    sample_idx: jnp.ndarray,
+):
+    """Trace one sample for every pixel of a contiguous band of image rows;
+    returns (jitter f32[rows,W,2], L f32[rows,W,3]) ready for a dense row
+    splat.  Shared by the single-device chunked driver and the band-sharded
+    SPMD renderer.
+    """
+    w = settings.width
+    seed = jnp.uint32(settings.seed)
+    y = row0.astype(jnp.uint32) + jnp.arange(n_rows, dtype=jnp.uint32)[:, None]
+    x = jnp.arange(w, dtype=jnp.uint32)[None, :]
+    pixel_idx = (y * jnp.uint32(w) + x).reshape(-1)
+    sample_flat = jnp.broadcast_to(sample_idx.astype(jnp.uint32), pixel_idx.shape)
+    p_film, u_lens = camera_samples(settings, pixel_idx, sample_flat, seed)
+    # jitter relative to the pixel corner (camera_samples adds it to px,py)
+    px = (pixel_idx % jnp.uint32(w)).astype(jnp.float32)
+    py = (pixel_idx // jnp.uint32(w)).astype(jnp.float32)
+    jitter = p_film - jnp.stack([px, py], axis=-1)
+    o, d = cam_mod.generate_rays(camera, p_film, u_lens)
+    time = (
+        camera_time(camera, pixel_idx, sample_flat, seed)
+        if scene.prims.anim is not None else None
+    )
+    if settings.integrator == "direct":
+        L = integrators.li_direct(
+            scene, o, d, pixel_idx, sample_flat, seed,
+            max_depth=settings.max_depth, time=time,
+            cone=_cone(scene, camera, settings),
+        )
+    else:
+        cfg = integrators.PathConfig(
+            max_depth=settings.max_depth, rr_threshold=settings.rr_threshold,
+            compaction=settings.compaction,
+        )
+        L = integrators.li(
+            scene, o, d, pixel_idx, sample_flat, seed, cfg, time=time,
+            cone=_cone(scene, camera, settings),
+        )
+    return jitter.reshape(n_rows, w, 2), L.reshape(n_rows, w, 3)
 
 
 def render_wave_rows(
@@ -131,35 +207,10 @@ def render_wave_rows(
     by the chunked driver and the sharded renderer.  Rows beyond the image
     (last band) render junk that the splat's pad margin discards.
     """
-    w = settings.width
-    seed = jnp.uint32(settings.seed)
-    y = row0.astype(jnp.uint32) + jnp.arange(n_rows, dtype=jnp.uint32)[:, None]
-    x = jnp.arange(w, dtype=jnp.uint32)[None, :]
-    pixel_idx = (y * jnp.uint32(w) + x).reshape(-1)
-    sample_flat = jnp.broadcast_to(sample_idx.astype(jnp.uint32), pixel_idx.shape)
-    p_film, u_lens = camera_samples(settings, pixel_idx, sample_flat, seed)
-    # jitter relative to the pixel corner (camera_samples adds it to px,py)
-    px = (pixel_idx % jnp.uint32(w)).astype(jnp.float32)
-    py = (pixel_idx // jnp.uint32(w)).astype(jnp.float32)
-    jitter = p_film - jnp.stack([px, py], axis=-1)
-    o, d = cam_mod.generate_rays(camera, p_film, u_lens)
-    if settings.integrator == "direct":
-        L = integrators.li_direct(
-            scene, o, d, pixel_idx, sample_flat, seed, max_depth=settings.max_depth
-        )
-    else:
-        cfg = integrators.PathConfig(
-            max_depth=settings.max_depth, rr_threshold=settings.rr_threshold,
-            compaction=settings.compaction,
-        )
-        L = integrators.li(scene, o, d, pixel_idx, sample_flat, seed, cfg)
-    return film_mod.add_samples_rows(
-        film,
-        row0,
-        jitter.reshape(n_rows, w, 2),
-        L.reshape(n_rows, w, 3),
-        settings.filter,
+    jitter, L = band_jitter_radiance(
+        scene, camera, settings, row0, n_rows, sample_idx
     )
+    return film_mod.add_samples_rows(film, row0, jitter, L, settings.filter)
 
 
 @partial(jax.jit, static_argnames=("settings",))

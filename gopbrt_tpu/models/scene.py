@@ -141,6 +141,8 @@ class SceneBuilder:
     _area_light: list = field(default_factory=list)
     _reverse: list = field(default_factory=list)
 
+    _o2w_end: dict = field(default_factory=dict)  # prim_id -> end keyframe
+
     _materials: list = field(default_factory=list)
     _textures: list = field(default_factory=list)
     _atlas_images: list = field(default_factory=list)
@@ -313,6 +315,19 @@ class SceneBuilder:
             )
         return ids
 
+    def animate(self, prim_id: int, o2w_end) -> None:
+        """Two-keyframe motion: the primitive moves from its build transform
+        to ``o2w_end`` across the camera shutter ([0,1] ray time) — the
+        working TransformedPrimitive + AnimatedTransform
+        (``pkg/pbrt/primitive.go:82-129``; the reference's decompose is a
+        TODO so any real animation nil-derefs, quirk #9).  Camera rays get
+        per-sample times (render.camera_time) and every intersection
+        interpolates this primitive's transform at the lane's time."""
+        assert self._prim_type[prim_id] in (SPHERE, DISK), (
+            "animated triangles not supported (world-space vertices)"
+        )
+        self._o2w_end[prim_id] = np.asarray(o2w_end, np.float32)
+
     # --- media ------------------------------------------------------------
 
     def set_medium(self, sigma_a, sigma_s=(0.0, 0.0, 0.0), g: float = 0.0):
@@ -369,8 +384,24 @@ class SceneBuilder:
     # --- world bounds (host) ---------------------------------------------
 
     def _prim_world_bounds(self, i) -> tuple[np.ndarray, np.ndarray]:
+        if i in self._o2w_end:
+            # animated: conservative union of bounds over sampled shutter
+            # times (AnimatedTransform MotionBounds role)
+            from gopbrt_tpu.ops import quaternion as quat
+
+            at = quat.animated_transform(self._o2w[i], self._o2w_end[i])
+            los, his = [], []
+            for t in np.linspace(0.0, 1.0, 9):
+                m_t = np.asarray(quat.interpolate(at, t))
+                lo, hi = self._prim_world_bounds_static(i, m_t)
+                los.append(lo)
+                his.append(hi)
+            pad = 0.05 * (np.max(his, axis=0) - np.min(los, axis=0))
+            return np.min(los, axis=0) - pad, np.max(his, axis=0) + pad
+        return self._prim_world_bounds_static(i, self._o2w[i])
+
+    def _prim_world_bounds_static(self, i, m) -> tuple[np.ndarray, np.ndarray]:
         pt = self._prim_type[i]
-        m = self._o2w[i]
         pr = self._params[i]
         if pt == SPHERE:
             r = pr[0]
@@ -427,6 +458,29 @@ class SceneBuilder:
                 or np.all((dsk[:, 2] <= 0.0) & (dsk[:, 3] >= two_pi))
             ),
         )
+        anim = None
+        if self._o2w_end:
+            # two-keyframe animation table: decomposed T/R/S per prim
+            # (quaternion.decompose — the reference's transform.go:537-539
+            # TODO, implemented); static prims carry identical keyframes
+            from gopbrt_tpu.ops import quaternion as quat
+            from gopbrt_tpu.ops.intersect import AnimPrims
+
+            end = np.stack(
+                [self._o2w_end.get(i, o2w[i]) for i in range(n)]
+            ).astype(np.float32)
+            t0_, q0_, s0_ = quat.decompose(jnp.asarray(o2w))
+            t1_, q1_, s1_ = quat.decompose(jnp.asarray(end))
+            q1_ = jnp.where(
+                (jnp.sum(q0_ * q1_, axis=-1) < 0.0)[:, None], -q1_, q1_
+            )
+            animated = jnp.asarray(
+                np.any(np.abs(end - o2w) > 1e-7, axis=(1, 2))
+            )
+            anim = AnimPrims(
+                t0=t0_, t1=t1_, q0=q0_, q1=q1_, s0=s0_, s1=s1_,
+                animated=animated,
+            )
         prims = Primitives(
             prim_type=jnp.asarray(ptypes_np),
             obj_to_world=jnp.asarray(o2w),
@@ -436,6 +490,7 @@ class SceneBuilder:
             area_light_id=jnp.asarray(np.asarray(self._area_light, np.int32)),
             reverse_orientation=jnp.asarray(np.asarray(self._reverse, bool)),
             pinfo=pinfo,
+            anim=anim,
         )
 
         # static lobe-set facts (compile out unused BSDF lobes)
@@ -617,7 +672,7 @@ class SceneBuilder:
         for r in self._lights:
             if r["type"] == LIGHT_AREA and r["shape"] != SHAPE_SPHERE:
                 ok = False
-        if self._medium is not None or any(self._reverse):
+        if self._medium is not None or any(self._reverse) or self._o2w_end:
             ok = False
         # transforms: rigid + uniform scale, det > 0 (the kernel derives
         # sphere normals as normalize(p - center) and bakes disk normals)

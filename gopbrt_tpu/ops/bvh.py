@@ -209,7 +209,7 @@ def _finalize(n_lo, n_hi, n_right, n_first, n_count, n_axis, order) -> LinearBVH
 # ---------------------------------------------------------------------------
 
 
-def _traverse(bvh: LinearBVH, prims: isect.Primitives, o, d, t_max, any_hit: bool):
+def _traverse(bvh: LinearBVH, prims: isect.Primitives, o, d, t_max, any_hit: bool, time=None):
     """Shared closest-hit / any-hit traversal.
 
     State per ray: current node, explicit [STACK_DEPTH] stack (bvh.go:664
@@ -260,7 +260,7 @@ def _traverse(bvh: LinearBVH, prims: isect.Primitives, o, d, t_max, any_hit: boo
             pid = bvh.prim_order[
                 jnp.clip(bvh.node_first[node] + k, 0, bvh.prim_order.shape[0] - 1)
             ]
-            tk = isect.prim_t(prims, pid, o, d, t_best)
+            tk = isect.prim_t(prims, pid, o, d, t_best, time=time)
             better = in_range & (tk < t_best)
             t_best = jnp.where(better, tk, t_best)
             prim_best = jnp.where(better, pid, prim_best)
@@ -312,12 +312,16 @@ def _traverse(bvh: LinearBVH, prims: isect.Primitives, o, d, t_max, any_hit: boo
     return hit, jnp.where(hit, out.t_best, t_max), jnp.maximum(out.prim_best, 0)
 
 
-def bvh_intersect(bvh: LinearBVH, prims: isect.Primitives, o, d, t_max):
-    """Closest hit (bvh.go:659-712). Returns (hit[N], t[N], prim_idx[N])."""
-    return _traverse(bvh, prims, o, d, t_max, any_hit=False)
+def bvh_intersect(bvh: LinearBVH, prims: isect.Primitives, o, d, t_max, time=None):
+    """Closest hit (bvh.go:659-712). Returns (hit[N], t[N], prim_idx[N]).
+
+    time: per-lane ray times for animated scenes — leaf tests interpolate
+    the primitive transform; node bounds must have been built to cover the
+    whole shutter (SceneBuilder unions keyframe bounds)."""
+    return _traverse(bvh, prims, o, d, t_max, any_hit=False, time=time)
 
 
-def bvh_intersect_p(bvh: LinearBVH, prims: isect.Primitives, o, d, t_max):
+def bvh_intersect_p(bvh: LinearBVH, prims: isect.Primitives, o, d, t_max, time=None):
     """Any hit / shadow rays (bvh.go:713-765). Returns bool[N]."""
-    hit, _, _ = _traverse(bvh, prims, o, d, t_max, any_hit=True)
+    hit, _, _ = _traverse(bvh, prims, o, d, t_max, any_hit=True, time=time)
     return hit

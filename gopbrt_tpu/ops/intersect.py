@@ -46,6 +46,52 @@ TRIANGLE = 2
 _BIG = jnp.float32(1e30)
 
 
+class AnimPrims(NamedTuple):
+    """Two-keyframe per-primitive animation over the camera shutter —
+    the working TransformedPrimitive + AnimatedTransform
+    (``pkg/pbrt/primitive.go:82-129``, ``pkg/pbrt/transform.go:512-631``;
+    the reference's decompose is a TODO so any real animation nil-derefs —
+    quirk #9).  Decomposed T/R/S keyframes (ops/quaternion.decompose) so
+    interpolation is lerp + slerp per lane at ray time."""
+
+    t0: jnp.ndarray  # f32[P,3] translation keyframes
+    t1: jnp.ndarray
+    q0: jnp.ndarray  # f32[P,4] rotation keyframes (x,y,z,w)
+    q1: jnp.ndarray  # (sign-aligned to q0 for shortest-path slerp)
+    s0: jnp.ndarray  # f32[P,4,4] scale/shear remainders
+    s1: jnp.ndarray
+    animated: jnp.ndarray  # bool[P] — False lanes use the static transform
+
+
+def anim_o2w(anim: AnimPrims, i, time) -> jnp.ndarray:
+    """Interpolated object->world of primitive(s) ``i`` at ``time`` in
+    [0,1] (AnimatedTransform.Interpolate, transform.go:564-631).  ``i``
+    scalar or int32[N]; time broadcastable to i's batch shape."""
+    from gopbrt_tpu.ops import quaternion as quat
+
+    dt = jnp.clip(jnp.asarray(time, jnp.float32), 0.0, 1.0)
+    t = geom.lerp(dt[..., None], anim.t0[i], anim.t1[i])
+    q = quat.slerp(dt, anim.q0[i], anim.q1[i])
+    s = geom.lerp(dt[..., None, None], anim.s0[i], anim.s1[i])
+    m = quat.quat_to_matrix(q) @ s
+    return m.at[..., :3, 3].add(t)
+
+
+def _prim_xforms_at(prims: "Primitives", i, time):
+    """(o2w, w2o) of primitive(s) i at per-lane time; static prims keep
+    their build transforms exactly (no interpolation round-trip)."""
+    if prims.anim is None or time is None:
+        return prims.obj_to_world[i], prims.world_to_obj[i]
+    o2w_a = anim_o2w(prims.anim, i, time)
+    w2o_a = jnp.linalg.inv(o2w_a)
+    is_anim = prims.anim.animated[i]
+    while jnp.ndim(is_anim) < o2w_a.ndim:
+        is_anim = is_anim[..., None]
+    o2w = jnp.where(is_anim, o2w_a, jnp.broadcast_to(prims.obj_to_world[i], o2w_a.shape))
+    w2o = jnp.where(is_anim, w2o_a, jnp.broadcast_to(prims.world_to_obj[i], w2o_a.shape))
+    return o2w, w2o
+
+
 class Primitives(NamedTuple):
     """SoA primitive table — the whole scene geometry as flat arrays.
 
@@ -71,6 +117,9 @@ class Primitives(NamedTuple):
     # SceneBuilder.build() fills it so single-type scenes compile only the
     # kernels they need (ops/static_info.py).
     pinfo: PrimInfo = None
+    # two-keyframe animation table; None (the common case) compiles all
+    # time-interpolation out of the intersectors
+    anim: "AnimPrims" = None
 
     @property
     def count(self) -> int:
@@ -233,18 +282,22 @@ def triangle_t(o, d, t_max, params):
 # ---------------------------------------------------------------------------
 
 
-def prim_t(prims: Primitives, i, o, d, t_max):
+def prim_t(prims: Primitives, i, o, d, t_max, time=None):
     """t of primitive i against world-space rays (o, d); _BIG on miss.
 
     ``i`` may be traced.  Type dispatch via masked evaluation of all three
     kernels — on TPU this is cheaper than lax.switch's sequencing for a
     3-way closed set and keeps everything on the VPU.
+
+    time: f32[N] ray times in [0,1] for animated scenes (prims.anim set) —
+    the transform is interpolated per lane (TransformedPrimitive.Intersect,
+    primitive.go:92-101).  Ignored (compiled out) for static scenes.
     """
     types = prims.types
     ptype = prims.prim_type[i]
     params = prims.params[i]
     if SPHERE in types or DISK in types:
-        w2o = prims.world_to_obj[i]
+        _, w2o = _prim_xforms_at(prims, i, time)
         oo = geom.apply_point_affine(w2o, o)
         od = geom.apply_vector(w2o, d)
     t = jnp.full(o.shape[:-1], _BIG, jnp.float32)
@@ -257,7 +310,7 @@ def prim_t(prims: Primitives, i, o, d, t_max):
     return t
 
 
-def intersect_brute(prims: Primitives, o, d, t_max):
+def intersect_brute(prims: Primitives, o, d, t_max, time=None):
     """O(n) closest hit over all primitives (pkg/accelerator/simple.go:47-70).
 
     Returns (hit_mask[N], t[N], prim_idx[N]).  Memory O(N*P) — the oracle
@@ -266,7 +319,7 @@ def intersect_brute(prims: Primitives, o, d, t_max):
     P = prims.count
 
     def per_prim(i):
-        return prim_t(prims, i, o, d, t_max)
+        return prim_t(prims, i, o, d, t_max, time=time)
 
     all_t = jax.vmap(per_prim)(jnp.arange(P))  # [P, N]
     best = jnp.argmin(all_t, axis=0)  # [N]
@@ -275,10 +328,12 @@ def intersect_brute(prims: Primitives, o, d, t_max):
     return hit, jnp.where(hit, t, t_max), best.astype(jnp.int32)
 
 
-def intersect_p_brute(prims: Primitives, o, d, t_max):
+def intersect_p_brute(prims: Primitives, o, d, t_max, time=None):
     """Any-hit / shadow-ray test (simple.go:71-79). Returns bool[N]."""
     P = prims.count
-    all_t = jax.vmap(lambda i: prim_t(prims, i, o, d, t_max))(jnp.arange(P))
+    all_t = jax.vmap(lambda i: prim_t(prims, i, o, d, t_max, time=time))(
+        jnp.arange(P)
+    )
     return jnp.any(all_t < _BIG, axis=0)
 
 
@@ -386,12 +441,15 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def surface_interaction(
-    prims: Primitives, hit, t, prim_idx, o, d
+    prims: Primitives, hit, t, prim_idx, o, d, time=None
 ) -> SurfaceInteraction:
     """Phase-2: build the full world-space SurfaceInteraction for winners.
 
     Counterpart of the object->world transform at sphere.go:172-187 and
-    interaction.go's normal orientation rules.
+    interaction.go's normal orientation rules.  With ``time`` and an
+    animated scene, the winner's transform pair is interpolated at the
+    ray's time (TransformedPrimitive.Intersect's post-transform,
+    primitive.go:103-110).
     """
     types = prims.types
     has_xf = SPHERE in types or DISK in types  # transformed (object-space) shapes
@@ -399,8 +457,11 @@ def surface_interaction(
     params = gather_rows(prims.params, prim_idx)  # [N,9]
     rev = prims.reverse_orientation[prim_idx]
     if has_xf:
-        o2w = gather_rows(prims.obj_to_world, prim_idx)
-        w2o = gather_rows(prims.world_to_obj, prim_idx)
+        if prims.anim is not None and time is not None:
+            o2w, w2o = _prim_xforms_at(prims, prim_idx, time)
+        else:
+            o2w = gather_rows(prims.obj_to_world, prim_idx)
+            w2o = gather_rows(prims.world_to_obj, prim_idx)
         oo = geom.apply_point_affine(w2o, o)
         od = geom.apply_vector(w2o, d)
 

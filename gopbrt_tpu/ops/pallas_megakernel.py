@@ -69,7 +69,9 @@ _SH_VT = 10       # 10-12 planar mapping t axis
 _SH_DS = 13       # 13-14 mapping offsets
 _SH_ALID = 15     # area_light_id (-1 none)
 _SH_SCALE2 = 16   # sigma^2 of the uniform scale (o2w_lin = s^2 * w2o_lin^T)
-_SH_K = 18
+_SH_TSS = 17      # |vs| texture-mapping scale (checker AA filter width)
+_SH_TST = 18      # |vt|
+_SH_K = 19
 
 # light aux column layout (per light, f32[L, 8])
 _LA_TWO = 0       # two_sided flag
@@ -172,7 +174,7 @@ def _offset_dist(nx, ny, nz, px, py, pz):
 def _mega_kernel(
     # static
     n_prims, n_lights, max_depth, rr_start, rr_threshold,
-    types, full_sph, full_disk, any_checker,
+    types, full_sph, full_disk, any_checker, use_cone,
     # SMEM tables
     seed_ref, ptype_ref, w2o_ref, params_ref, shade_ref,
     ltype_ref, lpos_ref, lint_ref, laux_ref, lcdf_ref, scal_ref,
@@ -186,6 +188,8 @@ def _mega_kernel(
     seed = seed_ref[0]
     func_int = scal_ref[0]
     world_radius = scal_ref[1]
+    cone_w0 = scal_ref[2]
+    cone_sp = scal_ref[3]
 
     # per-lane RNG stream base: hash_combine(hash_combine(seed, pixel), samp)
     pix = pix_ref[:]
@@ -299,7 +303,7 @@ def _mega_kernel(
 
     def bounce(bounce_idx, st):
         (ox, oy, oz, dx, dy, dz, bR, bG, bB, LR, LG, LB,
-         alive_f, spec_f, prev_pdf) = st
+         alive_f, spec_f, prev_pdf, cw) = st
         alive = alive_f > 0.5
         dim0 = (
             jnp.uint32(DIM_BOUNCE_BASE)
@@ -387,8 +391,17 @@ def _mega_kernel(
 
         alive = alive & hit
 
-        # ---- kd at hit (constant or planar checker) ------------------------
+        # ---- kd at hit (constant or planar checker; optional closed-form
+        # box-filter AA over the ray-cone footprint, ops/texture.py) --------
         kdr, kdg, kdb = shade[_SH_C1], shade[_SH_C1 + 1], shade[_SH_C1 + 2]
+        if use_cone:
+            fw_hit = cw + cone_sp * jnp.abs(t)
+            # surface-projected footprint (sqrt-of-grazing-stretch: the
+            # geometric mean of the anisotropic 1/cos elongation) — must
+            # match the jnp chain (models/integrators._bounce_once)
+            fw_surf = fw_hit * jax.lax.rsqrt(
+                jnp.maximum(jnp.abs(_dot3(nx, ny, nz, wox, woy, woz)), 0.05)
+            )
         if any_checker:
             s_t = shade[_SH_DS] + _dot3(
                 px, py, pz, shade[_SH_VS], shade[_SH_VS + 1], shade[_SH_VS + 2]
@@ -396,12 +409,28 @@ def _mega_kernel(
             t_t = shade[_SH_DS + 1] + _dot3(
                 px, py, pz, shade[_SH_VT], shade[_SH_VT + 1], shade[_SH_VT + 2]
             )
-            par = jnp.floor(s_t) + jnp.floor(t_t)
-            par = par - 2.0 * jnp.floor(par * 0.5)  # 0 or 1
-            odd = (par > 0.5) & (shade[_SH_CHK] > 0.5)
-            kdr = jnp.where(odd, shade[_SH_C2], kdr)
-            kdg = jnp.where(odd, shade[_SH_C2 + 1], kdg)
-            kdb = jnp.where(odd, shade[_SH_C2 + 2], kdb)
+            if use_cone:
+                def bump_int(x):
+                    h = x * 0.5
+                    fh = jnp.floor(h)
+                    return fh + 2.0 * jnp.maximum(h - fh - 0.5, 0.0)
+
+                ds_ = jnp.maximum(fw_surf * shade[_SH_TSS], 1e-8)
+                dt_ = jnp.maximum(fw_surf * shade[_SH_TST], 1e-8)
+                s_int = (bump_int(s_t + ds_) - bump_int(s_t - ds_)) / (2.0 * ds_)
+                t_int = (bump_int(t_t + dt_) - bump_int(t_t - dt_)) / (2.0 * dt_)
+                a2 = jnp.clip(s_int + t_int - 2.0 * s_int * t_int, 0.0, 1.0)
+                chk = shade[_SH_CHK] > 0.5
+                kdr = jnp.where(chk, kdr + a2 * (shade[_SH_C2] - kdr), kdr)
+                kdg = jnp.where(chk, kdg + a2 * (shade[_SH_C2 + 1] - kdg), kdg)
+                kdb = jnp.where(chk, kdb + a2 * (shade[_SH_C2 + 2] - kdb), kdb)
+            else:
+                par = jnp.floor(s_t) + jnp.floor(t_t)
+                par = par - 2.0 * jnp.floor(par * 0.5)  # 0 or 1
+                odd = (par > 0.5) & (shade[_SH_CHK] > 0.5)
+                kdr = jnp.where(odd, shade[_SH_C2], kdr)
+                kdg = jnp.where(odd, shade[_SH_C2 + 1], kdg)
+                kdb = jnp.where(odd, shade[_SH_C2 + 2], kdb)
 
         # ---- shading frame (BSDF constructor, reflection.go:120-145) ------
         nd = _dot3(nx, ny, nz, dux, duy, duz)
@@ -600,6 +629,7 @@ def _mega_kernel(
             jnp.where(alive, 1.0, 0.0).astype(f32),
             jnp.zeros_like(spec_f),  # matte is never specular
             pdf_b,
+            fw_hit if use_cone else cw,
         )
 
     shape = ox_ref.shape
@@ -612,6 +642,7 @@ def _mega_kernel(
         alive_ref[:],                           # alive (f32 0/1)
         zeros + 1.0,                            # specular (camera rays)
         zeros,                                  # prev_bsdf_pdf
+        zeros + cone_w0,                        # ray-cone footprint width
     )
     state = jax.lax.fori_loop(0, max_depth, bounce, state)
     lr_ref[:] = state[9]
@@ -656,7 +687,8 @@ def _shade_table(scene) -> jnp.ndarray:
         ds,
         prims.area_light_id.astype(jnp.float32)[:, None],
         scale2[:, None],
-        jnp.zeros((prims.count, 1), jnp.float32),
+        jnp.sqrt(jnp.sum(vs * vs, axis=-1))[:, None],  # |vs| (checker AA)
+        jnp.sqrt(jnp.sum(vt * vt, axis=-1))[:, None],  # |vt|
     ]
     return jnp.concatenate(cols, axis=1)
 
@@ -683,11 +715,14 @@ def _light_tables(scene):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "rr_start", "rr_threshold", "interpret"),
+    static_argnames=(
+        "max_depth", "rr_start", "rr_threshold", "interpret", "use_cone",
+    ),
 )
 def _li_fused_fwd(
-    scene, o, d, pixel, sample, seed,
+    scene, o, d, pixel, sample, seed, cone_w0, cone_sp,
     max_depth=10, rr_start=3, rr_threshold=1.0, interpret=False,
+    use_cone=False,
 ):
     n = o.shape[0]
     prims = scene.prims
@@ -724,6 +759,7 @@ def _li_fused_fwd(
         pinfo.all_full_spheres if pinfo is not None else False,
         pinfo.all_full_disks if pinfo is not None else False,
         True,  # any_checker: cheap; keep general
+        use_cone,
     )
     ltype, lpos, lint, laux = _light_tables(scene)
     lcdf = scene.light_cdf
@@ -731,8 +767,8 @@ def _li_fused_fwd(
         [
             scene.light_func_int.astype(jnp.float32),
             scene.world_radius.astype(jnp.float32),
-            jnp.float32(0.0),
-            jnp.float32(0.0),
+            jnp.asarray(cone_w0, jnp.float32),
+            jnp.asarray(cone_sp, jnp.float32),
         ]
     )
     outs = pl.pallas_call(
@@ -793,47 +829,58 @@ def _li_fused_fwd(
 
 
 @functools.lru_cache(maxsize=32)
-def _make_fused(cfg, interpret):
-    """custom_vjp closure per static (cfg, interpret).  All traced values
-    (scene, rays, counters, seed) are explicit arguments — custom_vjp
-    functions must not close over tracers."""
+def _make_fused(cfg, interpret, use_cone):
+    """custom_vjp closure per static (cfg, interpret, use_cone).  All traced
+    values (scene, rays, counters, seed, cone scalars) are explicit
+    arguments — custom_vjp functions must not close over tracers."""
 
     @jax.custom_vjp
-    def f(scene, o, d, pixel, sample, seed):
+    def f(scene, o, d, pixel, sample, seed, cone_w0, cone_sp):
         return _li_fused_fwd(
-            scene, o, d, pixel, sample, seed,
+            scene, o, d, pixel, sample, seed, cone_w0, cone_sp,
             max_depth=cfg.max_depth, rr_start=cfg.rr_start_depth,
             rr_threshold=cfg.rr_threshold, interpret=interpret,
+            use_cone=use_cone,
         )
 
-    def fwd(scene, o, d, pixel, sample, seed):
-        return f(scene, o, d, pixel, sample, seed), (
-            scene, o, d, pixel, sample, seed,
+    def fwd(scene, o, d, pixel, sample, seed, cone_w0, cone_sp):
+        return f(scene, o, d, pixel, sample, seed, cone_w0, cone_sp), (
+            scene, o, d, pixel, sample, seed, cone_w0, cone_sp,
         )
 
     def bwd(res, g):
         from gopbrt_tpu.models import integrators
 
-        scene, o, d, pixel, sample, seed = res
+        scene, o, d, pixel, sample, seed, cone_w0, cone_sp = res
 
-        def replay(scene, o, d):
-            return integrators._li_jnp(scene, o, d, pixel, sample, seed, cfg)
+        def replay(scene, o, d, w0, sp):
+            return integrators._li_jnp(
+                scene, o, d, pixel, sample, seed, cfg,
+                cone=((w0, sp) if use_cone else None),
+            )
 
-        _, vjp = jax.vjp(replay, scene, o, d)
-        gs, go, gd = vjp(g)
+        _, vjp = jax.vjp(replay, scene, o, d, cone_w0, cone_sp)
+        gs, go, gd, gw0, gsp = vjp(g)
         f0 = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
-        return gs, go, gd, f0(pixel), f0(sample), f0(seed)
+        return gs, go, gd, f0(pixel), f0(sample), f0(seed), gw0, gsp
 
     f.defvjp(fwd, bwd)
     return f
 
 
-def path_li_fused(scene, o, d, pixel, sample, seed, cfg, interpret=False):
+def path_li_fused(scene, o, d, pixel, sample, seed, cfg, interpret=False,
+                  cone=None):
     """Drop-in for integrators.li on fast-path scenes (scene.fastinfo.ok):
-    megakernel forward, path-replay backward through the jnp chain."""
+    megakernel forward, path-replay backward through the jnp chain.
+
+    cone: optional (width0, spread) ray-cone scalars enabling the in-kernel
+    closed-form checker box filter (texture AA)."""
     n = o.shape[0]
     pixel = jnp.broadcast_to(jnp.asarray(pixel, jnp.uint32), (n,))
     sample = jnp.broadcast_to(jnp.asarray(sample, jnp.uint32), (n,))
-    return _make_fused(cfg, interpret)(
-        scene, o, d, pixel, sample, jnp.asarray(seed, jnp.uint32)
+    use_cone = cone is not None
+    w0 = jnp.asarray(cone[0] if use_cone else 0.0, jnp.float32)
+    sp = jnp.asarray(cone[1] if use_cone else 0.0, jnp.float32)
+    return _make_fused(cfg, interpret, use_cone)(
+        scene, o, d, pixel, sample, jnp.asarray(seed, jnp.uint32), w0, sp
     )

@@ -96,26 +96,161 @@ def render_pass_sharded(
     return film_mod.merge(film, delta)
 
 
+def render_pass_sharded_band(
+    mesh: Mesh,
+    scene: Scene,
+    camera: cam_mod.Camera,
+    film: film_mod.Film,
+    settings: render_mod.RenderSettings,
+    sample_base,
+):
+    """One distributed pass with a BAND-SHARDED film: each device owns only
+    its contiguous band of image rows (film height padded to
+    n_data x band_rows, rgb/weight sharded P('data') on axis 0).
+
+    Replaces the replicated-film whole-image psum of
+    :func:`render_pass_sharded` — the round-2 scaling bottleneck — with the
+    minimal communication the filter actually requires:
+
+      * spp reduction: psum over the 'sample' axis of the *band* only,
+      * cross-band filter taps (the ceil(radius)-row halo of the dense row
+        splat): a single neighbour ``ppermute`` over ICI each way.
+
+    Per-pass film traffic per device drops from O(H*W) to
+    O(band + 2*rr*W); film HBM footprint per device drops n_data-fold.
+    """
+    n_data = mesh.shape["data"]
+    hp = film.weight.shape[0]
+    assert hp % n_data == 0, "film height must be padded to the data axis"
+    band_rows = hp // n_data
+    rr = int(np.ceil(settings.filter.radius))
+    spp_here = settings.samples_per_pass
+    band_spec = film_mod.Film(rgb=P("data"), weight=P("data"))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), band_spec),
+        out_specs=band_spec,
+        check_rep=False,
+    )
+    def step(scene_, camera_, film_):
+        d_idx = jax.lax.axis_index("data")
+        s_idx = jax.lax.axis_index("sample")
+        row0 = (d_idx * band_rows).astype(jnp.int32)
+        w_img = settings.width
+        acc_rgb = jnp.zeros((band_rows + 2 * rr, w_img, 3), jnp.float32)
+        acc_w = jnp.zeros((band_rows + 2 * rr, w_img), jnp.float32)
+        for s in range(spp_here):
+            sample_idx = (
+                jnp.asarray(sample_base, jnp.uint32)
+                + (s_idx * spp_here + s).astype(jnp.uint32)
+            )
+            jit_, L_ = render_mod.band_jitter_radiance(
+                scene_, camera_, settings, row0, band_rows, sample_idx
+            )
+            r_, w_ = film_mod.splat_band_halo(
+                row0, jit_, L_, settings.height, settings.filter
+            )
+            acc_rgb = acc_rgb + r_
+            acc_w = acc_w + w_
+        if mesh.shape["sample"] > 1:
+            acc_rgb = jax.lax.psum(acc_rgb, "sample")
+            acc_w = jax.lax.psum(acc_w, "sample")
+        core_rgb = acc_rgb[rr : rr + band_rows]
+        core_w = acc_w[rr : rr + band_rows]
+        if n_data > 1 and rr > 0:
+            # halo exchange: my top rows belong to the previous band, my
+            # bottom rows to the next — one ppermute each way over ICI
+            # (non-circular: edge devices receive zeros)
+            fwd = [(i, i + 1) for i in range(n_data - 1)]
+            bwd = [(i, i - 1) for i in range(1, n_data)]
+            from_prev_rgb = jax.lax.ppermute(acc_rgb[band_rows + rr :], "data", fwd)
+            from_prev_w = jax.lax.ppermute(acc_w[band_rows + rr :], "data", fwd)
+            from_next_rgb = jax.lax.ppermute(acc_rgb[:rr], "data", bwd)
+            from_next_w = jax.lax.ppermute(acc_w[:rr], "data", bwd)
+            core_rgb = core_rgb.at[:rr].add(from_prev_rgb)
+            core_rgb = core_rgb.at[band_rows - rr :].add(from_next_rgb)
+            core_w = core_w.at[:rr].add(from_prev_w)
+            core_w = core_w.at[band_rows - rr :].add(from_next_w)
+        return film_mod.Film(
+            rgb=film_.rgb + core_rgb, weight=film_.weight + core_w
+        )
+
+    return step(scene, camera, film)
+
+
+def new_band_film(mesh: Mesh, settings: render_mod.RenderSettings) -> film_mod.Film:
+    """Fresh film padded to the data axis, rows sharded over 'data'."""
+    n_data = mesh.shape["data"]
+    band_rows = -(-settings.height // n_data)
+    film = film_mod.new_film(settings.width, band_rows * n_data)
+    sh = NamedSharding(mesh, P("data"))
+    return film_mod.Film(
+        rgb=jax.device_put(film.rgb, sh), weight=jax.device_put(film.weight, sh)
+    )
+
+
 def render_sharded(
     mesh: Mesh,
     scene: Scene,
     camera: cam_mod.Camera,
     settings: render_mod.RenderSettings,
+    band_film: bool = True,
 ) -> jnp.ndarray:
-    """Full distributed render (the multi-chip ``Render``)."""
+    """Full distributed render (the multi-chip ``Render``).
+
+    band_film=True (default) keeps the film row-sharded per device for the
+    whole render (one cross-band halo ppermute per pass) and gathers bands
+    only at develop time; False reproduces the round-2 replicated-film psum
+    (kept for comparison benchmarks).
+    """
     # pin inputs to the mesh's devices: the mesh may live on a different
     # backend than the default (e.g. a virtual-CPU validation mesh while the
     # default backend is a single TPU)
     rep = NamedSharding(mesh, P())
     scene, camera = jax.device_put((scene, camera), rep)
-    film = jax.device_put(film_mod.new_film(settings.width, settings.height), rep)
     n_sample = mesh.shape["sample"]
     spp_per_pass = settings.samples_per_pass * n_sample
     n_passes = -(-settings.spp // spp_per_pass)
-    fn = jax.jit(render_pass_sharded, static_argnames=("mesh", "settings"))
+    if band_film:
+        film = new_band_film(mesh, settings)
+        fn = jax.jit(render_pass_sharded_band, static_argnames=("mesh", "settings"))
+    else:
+        film = jax.device_put(
+            film_mod.new_film(settings.width, settings.height), rep
+        )
+        fn = jax.jit(render_pass_sharded, static_argnames=("mesh", "settings"))
     for p in range(n_passes):
         film = fn(mesh, scene, camera, film, settings, jnp.uint32(p * spp_per_pass))
+    if band_film:
+        # allgather once at develop: crop the padding rows, then resolve
+        film = film_mod.Film(
+            rgb=film.rgb[: settings.height], weight=film.weight[: settings.height]
+        )
     return film_mod.develop(film)
+
+
+def init_distributed(**kwargs) -> bool:
+    """Initialize JAX multi-host coordination (``jax.distributed``) when the
+    environment provides a coordinator (JAX_COORDINATOR_ADDRESS or explicit
+    kwargs) — the DCN bring-up for multi-host pods; ICI collectives inside
+    shard_map need no further setup.  Returns True when initialized.
+
+    Single-host runs (no coordinator configured) are a no-op: the in-process
+    mesh over local devices is already fully functional.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    has_env = os.environ.get("JAX_COORDINATOR_ADDRESS") or kwargs.get(
+        "coordinator_address"
+    )
+    if not has_env:
+        return False
+    jax.distributed.initialize(**kwargs)
+    return True
 
 
 # ---------------------------------------------------------------------------

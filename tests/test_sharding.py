@@ -44,12 +44,18 @@ def scene():
 
 
 class TestShardedRender:
-    def test_matches_single_device(self, scene):
+    @pytest.mark.parametrize("band_film", [True, False])
+    def test_matches_single_device(self, scene, band_film):
         assert len(jax.devices()) >= 8
         single = np.asarray(render_mod.render(scene, CAM, SETTINGS))
         mesh = shard_mod.make_mesh(data=4, sample=2)
-        multi = np.asarray(shard_mod.render_sharded(mesh, scene, CAM, SETTINGS))
-        # counter-based sampling -> identical streams; psum order may differ
+        multi = np.asarray(
+            shard_mod.render_sharded(mesh, scene, CAM, SETTINGS, band_film=band_film)
+        )
+        # counter-based sampling -> identical streams; psum order may differ.
+        # band_film additionally exercises the halo ppermute: filter taps
+        # crossing band boundaries must land exactly as in the single-device
+        # full-film splat.
         np.testing.assert_allclose(single, multi, atol=2e-5)
 
     def test_data_only_mesh(self, scene):
@@ -57,17 +63,30 @@ class TestShardedRender:
         img = np.asarray(shard_mod.render_sharded(mesh, scene, CAM, SETTINGS))
         assert np.isfinite(img).all() and img.max() > 0.1
 
-    def test_nondivisible_pixel_count(self, scene):
-        # 15x15 = 225 px not divisible by 8 -> padding lanes must be dropped
+    @pytest.mark.parametrize("band_film", [True, False])
+    def test_nondivisible_pixel_count(self, scene, band_film):
+        # 15x15 = 225 px not divisible by 8 -> padding rows/lanes dropped
         cam = cam_mod.perspective_camera(
             geom.look_at([0.0, 2.0, 6.0], [0.0, 1.0, 0.0], [0.0, 1.0, 0.0]),
             15, 15, fov_deg=45.0,
         )
         settings = SETTINGS._replace(width=15, height=15)
         mesh = shard_mod.make_mesh(data=8, sample=1)
-        multi = np.asarray(shard_mod.render_sharded(mesh, scene, cam, settings))
+        multi = np.asarray(
+            shard_mod.render_sharded(mesh, scene, cam, settings, band_film=band_film)
+        )
         single = np.asarray(render_mod.render(scene, cam, settings))
         np.testing.assert_allclose(single, multi, atol=2e-5)
+
+    def test_band_film_is_actually_sharded(self, scene):
+        """The film must live row-sharded across the data axis (the round-2
+        review flagged full-film replication per device)."""
+        mesh = shard_mod.make_mesh(data=8, sample=1)
+        film = shard_mod.new_band_film(mesh, SETTINGS)
+        assert film.rgb.sharding.spec == jax.sharding.PartitionSpec("data")
+        # each device holds only its band: 1/8 of the rows
+        shard_shape = film.rgb.sharding.shard_shape(film.rgb.shape)
+        assert shard_shape[0] == film.rgb.shape[0] // 8
 
 
 class TestShardedGradient:
