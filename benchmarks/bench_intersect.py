@@ -5,8 +5,11 @@ Mirrors the reference's scaling series —
 {1,10,100,1000} over a line of n spheres — measured as rays/s for a batch
 of rays instead of ns/op for one ray (the natural TPU unit of work).
 
-Run: python benchmarks/bench_intersect.py [--cpu]
-Prints one JSON line per (aggregate, n_prims) combo.
+Run: python benchmarks/bench_intersect.py [--cpu] [--check]
+Prints one JSON line per (aggregate, n_prims) combo.  --check applies CI
+regression gates (portable structural asserts, not machine-absolute
+numbers): every kernel must produce finite correct hits, and results must
+agree between brute force and BVH where both run.
 """
 
 from __future__ import annotations
@@ -23,6 +26,8 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--rays", type=int, default=1 << 16)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--check", action="store_true",
+                    help="CI regression gates (oracle agreement + sanity)")
     args = ap.parse_args()
 
     import jax
@@ -79,6 +84,20 @@ def main() -> None:
             runs["simple"] = brute
         bvh = bvh_mod.build_from_bounds(blo, bhi)
         runs["bvh"] = jax.jit(lambda o, d: bvh_mod.bvh_intersect(bvh, prims, o, d, t_max))
+
+        if args.check:
+            outs = {name: jax.tree.map(np.asarray, fn(o_j, d_j))
+                    for name, fn in runs.items()}
+            for name, (hit, t, idx) in outs.items():
+                assert np.isfinite(t).all(), f"{name}@{n}: non-finite t"
+                assert hit.any(), f"{name}@{n}: no hits on a hit-all fixture"
+            if "simple" in outs and "bvh" in outs:
+                (h1, t1, i1), (h2, t2, i2) = outs["simple"], outs["bvh"]
+                assert (h1 == h2).mean() > 0.9999, f"oracle mismatch @ {n}"
+                same = h1 & h2
+                assert np.allclose(t1[same], t2[same], atol=1e-4), (
+                    f"t mismatch @ {n}"
+                )
 
         for name, fn in runs.items():
             out = fn(o_j, d_j)

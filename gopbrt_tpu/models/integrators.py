@@ -128,6 +128,15 @@ def _scene_intersect(scene: Scene, o, d, t_max, time=None):
     """
     anim = scene.prims.anim is not None and time is not None
     if scene.bvh is not None and scene.prims.count > BRUTE_FORCE_CUTOFF:
+        if scene.clusters is not None and _pallas_on() and not anim:
+            # TPU: two-level cluster kernel (ops/pallas_cluster) — the
+            # lockstep XLA traversal's per-lane gathers serialize on TPU
+            from gopbrt_tpu.ops import pallas_cluster as pc
+
+            sg = jax.lax.stop_gradient
+            return pc.cluster_intersect(
+                scene.clusters, scene.prims, sg(o), sg(d), sg(t_max)
+            )
         from gopbrt_tpu.ops import bvh as bvh_mod
 
         return bvh_mod.bvh_intersect(
@@ -146,6 +155,13 @@ def _scene_intersect(scene: Scene, o, d, t_max, time=None):
 def _scene_intersect_p(scene: Scene, o, d, t_max, time=None):
     anim = scene.prims.anim is not None and time is not None
     if scene.bvh is not None and scene.prims.count > BRUTE_FORCE_CUTOFF:
+        if scene.clusters is not None and _pallas_on() and not anim:
+            from gopbrt_tpu.ops import pallas_cluster as pc
+
+            sg = jax.lax.stop_gradient
+            return pc.cluster_intersect_p(
+                scene.clusters, scene.prims, sg(o), sg(d), sg(t_max)
+            )
         from gopbrt_tpu.ops import bvh as bvh_mod
 
         return bvh_mod.bvh_intersect_p(

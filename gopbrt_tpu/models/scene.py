@@ -115,6 +115,10 @@ class Scene(NamedTuple):
     # the jnp wavefront chain.  None (scenes built without the builder) =
     # jnp chain.
     fastinfo: "object" = None
+    # Pallas two-level cluster table (ops/pallas_cluster.Clusters): the TPU
+    # accelerator for scenes above the brute-force cutoff; CPU keeps the
+    # lockstep BVH.  None = no clusters built.
+    clusters: Optional["object"] = None
 
     @property
     def n_lights(self) -> int:
@@ -583,7 +587,19 @@ class SceneBuilder:
         if accelerator == "bvh" and n > 4:
             from gopbrt_tpu.ops import bvh as bvh_mod
 
-            scene = scene._replace(bvh=bvh_mod.build_bvh_host(self))
+            bvh = bvh_mod.build_bvh_host(self)
+            scene = scene._replace(bvh=bvh)
+            if n > 64 and anim is None:
+                # TPU accelerator: cluster table in the BVH's leaf order
+                # (ops/pallas_cluster; animated scenes keep the jnp path)
+                from gopbrt_tpu.ops import pallas_cluster as pc
+
+                lo_b, hi_b = bvh_mod._prim_bounds_np(self)
+                scene = scene._replace(
+                    clusters=pc.build_clusters(
+                        prims, lo_b, hi_b, np.asarray(bvh.prim_order)
+                    )
+                )
         return scene
 
     def _build_textures(self) -> Textures:

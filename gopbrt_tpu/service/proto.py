@@ -6,6 +6,9 @@ Wire-compatible with ``proto/render/service.proto``:
                              int32 width = 3; int32 height = 4; }
     message RenderResponse { string path = 1; }
 
+plus two superset fields this server honours (unknown to the Go daemon,
+skipped by it per proto3 rules): int32 spp = 5; int32 max_depth = 6.
+
 (The image has no protoc/grpc_tools codegen; these two messages are small
 enough that a direct proto3 wire implementation is simpler and dependency-
 free.  Verified against google.protobuf round-trips in tests/test_service.py.)
@@ -65,6 +68,8 @@ class RenderRequest:
     time: float = 0.0
     width: int = 0
     height: int = 0
+    spp: int = 0
+    max_depth: int = 0
 
     def SerializeToString(self) -> bytes:
         out = bytearray()
@@ -77,6 +82,10 @@ class RenderRequest:
             out += b"\x18" + _encode_varint(self.width)
         if self.height:
             out += b"\x20" + _encode_varint(self.height)
+        if self.spp:
+            out += b"\x28" + _encode_varint(self.spp)
+        if self.max_depth:
+            out += b"\x30" + _encode_varint(self.max_depth)
         return bytes(out)
 
     @classmethod
@@ -97,6 +106,10 @@ class RenderRequest:
                 msg.width, i = _decode_varint(buf, i)
             elif field == 4 and wt == 0:
                 msg.height, i = _decode_varint(buf, i)
+            elif field == 5 and wt == 0:
+                msg.spp, i = _decode_varint(buf, i)
+            elif field == 6 and wt == 0:
+                msg.max_depth, i = _decode_varint(buf, i)
             else:
                 i = _skip_field(buf, i, wt)
         return msg

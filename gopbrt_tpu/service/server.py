@@ -5,14 +5,20 @@ Counterpart of the reference's service stack:
     scene and renders — here the scene build is cached and the render runs
     the wavefront path tracer (optionally sharded over all local devices).
   * daemon (``cmd/pbrtd/main.go:16-38``): listen :3001, register service,
-    reflection; graceful SIGINT/SIGTERM shutdown
+    server reflection (hand-rolled v1+v1alpha, service/reflection.py —
+    main.go:28); graceful SIGINT/SIGTERM shutdown
     (``internal/signal/signal.go:11-25``, ``cmd/pbrtd/server.go:10-26``).
 
 Uses grpc generic handlers with the hand-rolled codec in service/proto.py
 (wire-compatible with proto/render/service.proto), so grpcurl clients of
-the Go daemon work unchanged.  Improvements over the reference: scene_id
-and spp/depth are honored (the reference ignores scene_id,
-service.proto:10 / server.go:29), and renders are cached per scene build.
+the Go daemon work unchanged.  Improvements over the reference:
+  * scene_id selects from a registry (demo / cornell / mesh / glass — the
+    BASELINE gallery); the reference ignores it (service.proto:10),
+  * the request ``time`` field (ignored by the reference, service.proto:11)
+    pins the camera shutter to that instant — renders an animated scene at
+    a chosen frame time,
+  * superset fields spp=5 / max_depth=6 expose sampling controls,
+  * scene builds are cached per scene_id.
 """
 
 from __future__ import annotations
@@ -40,19 +46,31 @@ class RenderService:
         self._scenes = {}
         self._lock = threading.Lock()
 
-    def _get_scene(self, scene_id: str):
+    #: scene registry: id -> builder (the BASELINE gallery; "demo" is the
+    #: reference's hardcoded scene; unknown ids fall back to demo, matching
+    #: the reference's render-the-demo-regardless behaviour)
+    @staticmethod
+    def _build_scene(scene_id: str):
+        from gopbrt_tpu.models import gallery
         from gopbrt_tpu.models.demo import build_demo_scene
 
+        if scene_id == "cornell":
+            return gallery.config2()[0]
+        if scene_id == "mesh":
+            return gallery.config3()[0]
+        if scene_id == "glass":
+            return gallery.config4()[0]
+        return build_demo_scene()
+
+    def _get_scene(self, scene_id: str):
         with self._lock:
             if scene_id not in self._scenes:
-                # closed scene registry; "demo" is the reference's hardcoded
-                # scene, other ids fall back to it (parity: reference always
-                # renders the demo regardless of scene_id)
-                self._scenes[scene_id] = build_demo_scene()
+                self._scenes[scene_id] = self._build_scene(scene_id)
             return self._scenes[scene_id]
 
     def render(self, request: RenderRequest, context) -> RenderResponse:
         import jax
+        import jax.numpy as jnp
 
         from gopbrt_tpu.models import film as film_mod
         from gopbrt_tpu.models import render as render_mod
@@ -61,9 +79,35 @@ class RenderService:
 
         width = request.width or 1920
         height = request.height or 1080
-        scene = self._get_scene(request.scene_id or "demo")
-        camera = build_demo_camera(width, height)
-        settings = demo_settings(width=width, height=height, spp=16)
+        scene_id = request.scene_id or "demo"
+        scene = self._get_scene(scene_id)
+        if scene_id == "cornell":
+            from gopbrt_tpu.models import gallery
+
+            camera = gallery.config2(width, height)[1]
+        elif scene_id == "mesh":
+            from gopbrt_tpu.models.meshes import mesh_camera
+
+            camera = mesh_camera(width, height)
+        elif scene_id == "glass":
+            from gopbrt_tpu.models import gallery
+
+            camera = gallery.config4(width, height)[1]
+        else:
+            camera = build_demo_camera(width, height)
+        if request.time:
+            # honor the request's animation time (service.proto:11, ignored
+            # by the reference): pin the shutter to that instant
+            t = float(min(max(request.time, 0.0), 1.0))
+            camera = camera._replace(
+                shutter_open=jnp.asarray(t, jnp.float32),
+                shutter_close=jnp.asarray(t, jnp.float32),
+            )
+        settings = demo_settings(
+            width=width, height=height, spp=request.spp or 16,
+        )
+        if request.max_depth:
+            settings = settings._replace(max_depth=int(request.max_depth))
 
         if self.use_mesh and len(jax.devices()) > 1:
             mesh = shard_mod.make_mesh()
@@ -91,7 +135,11 @@ def make_server(
         response_serializer=RenderResponse.SerializeToString,
     )
     handler = grpc.method_handlers_generic_handler(SERVICE_NAME, {"Render": rpc})
-    server.add_generic_rpc_handlers((handler,))
+    from gopbrt_tpu.service.reflection import reflection_handlers
+
+    server.add_generic_rpc_handlers(
+        (handler, *reflection_handlers([SERVICE_NAME]))
+    )
     server.add_insecure_port(f"[::]:{port}")
     return server
 

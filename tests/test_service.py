@@ -83,6 +83,17 @@ class TestProtoCodec:
             RenderRequest.FromString(b"\xff\xff\xff\xff")
 
 
+    def test_spp_depth_superset_fields(self):
+        """Fields 5/6 (spp, max_depth) round-trip and are skipped cleanly by
+        a peer that only knows the reference schema."""
+        PbReq, _ = _dynamic_messages()
+        mine = RenderRequest(scene_id="demo", width=4, height=4, spp=7, max_depth=3)
+        theirs = PbReq.FromString(mine.SerializeToString())  # 5/6 -> unknown
+        assert theirs.width == 4 and theirs.scene_id == "demo"
+        back = RenderRequest.FromString(mine.SerializeToString())
+        assert back.spp == 7 and back.max_depth == 3
+
+
 class TestServiceHandler:
     def test_render_rpc_in_process(self, tmp_path):
         """Spin the real grpc server on a scratch port, render 8x8."""
@@ -101,11 +112,111 @@ class TestServiceHandler:
                 request_serializer=RenderRequest.SerializeToString,
                 response_deserializer=RenderResponse.FromString,
             )
-            resp = stub(RenderRequest(width=8, height=8), timeout=560)
+            resp = stub(
+                RenderRequest(width=8, height=8, spp=2, max_depth=2, time=0.5),
+                timeout=560,
+            )
             assert resp.path.endswith(".png")
             from PIL import Image
 
             im = Image.open(resp.path)
             assert im.size == (8, 8)
+        finally:
+            server.stop(grace=None)
+
+
+class TestReflection:
+    """The hand-rolled server reflection (service/reflection.py) — the
+    reference registers reflection at cmd/pbrtd/main.go:28; grpcurl-style
+    clients discover services + schema without proto files."""
+
+    @staticmethod
+    def _start():
+        import grpc
+
+        from gopbrt_tpu.service.server import RenderService, make_server
+
+        svc = RenderService(use_mesh=False)
+        server = make_server(port=0, service=svc)
+        port = server.add_insecure_port("localhost:0")
+        server.start()
+        chan = grpc.insecure_channel(f"localhost:{port}")
+        return server, chan
+
+    @staticmethod
+    def _call(chan, service, payload: bytes) -> bytes:
+        stub = chan.stream_stream(
+            f"/{service}/ServerReflectionInfo",
+            request_serializer=lambda b: b,
+            response_deserializer=lambda b: b,
+        )
+        return next(iter(stub(iter([payload]), timeout=30)))
+
+    @staticmethod
+    def _parse_response(buf: bytes) -> dict:
+        from gopbrt_tpu.service.proto import _decode_varint, _skip_field
+
+        out = {}
+        i = 0
+        while i < len(buf):
+            tag, i = _decode_varint(buf, i)
+            field, wt = tag >> 3, tag & 7
+            if wt == 2:
+                ln, i = _decode_varint(buf, i)
+                out[field] = buf[i : i + ln]
+                i += ln
+            else:
+                i = _skip_field(buf, i, wt)
+        return out
+
+    @pytest.mark.parametrize(
+        "service",
+        [
+            "grpc.reflection.v1.ServerReflection",
+            "grpc.reflection.v1alpha.ServerReflection",
+        ],
+    )
+    def test_list_services(self, service):
+        from gopbrt_tpu.service.proto import _encode_varint
+
+        server, chan = self._start()
+        try:
+            # ServerReflectionRequest{list_services="*"} = field 7 LD
+            payload = bytes([7 << 3 | 2, 1]) + b"*"
+            resp = self._parse_response(self._call(chan, service, payload))
+            assert 6 in resp  # list_services_response
+            assert b"render.Render" in resp[6]
+        finally:
+            server.stop(grace=None)
+
+    def test_file_containing_symbol(self):
+        from google.protobuf import descriptor_pb2
+
+        server, chan = self._start()
+        try:
+            sym = b"render.Render"
+            payload = bytes([4 << 3 | 2, len(sym)]) + sym
+            resp = self._parse_response(
+                self._call(chan, "grpc.reflection.v1.ServerReflection", payload)
+            )
+            assert 4 in resp  # file_descriptor_response
+            inner = self._parse_response(resp[4])
+            fdp = descriptor_pb2.FileDescriptorProto.FromString(inner[1])
+            assert fdp.package == "render"
+            assert fdp.service[0].name == "Render"
+            names = [f.name for f in fdp.message_type[0].field]
+            assert names[:4] == ["scene_id", "time", "width", "height"]
+        finally:
+            server.stop(grace=None)
+
+    def test_unknown_symbol_errors(self):
+        server, chan = self._start()
+        try:
+            sym = b"nope.Nothing"
+            payload = bytes([4 << 3 | 2, len(sym)]) + sym
+            resp = self._parse_response(
+                self._call(chan, "grpc.reflection.v1alpha.ServerReflection", payload)
+            )
+            assert 7 in resp  # error_response (NOT_FOUND)
         finally:
             server.stop(grace=None)
