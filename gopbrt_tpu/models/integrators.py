@@ -483,9 +483,11 @@ def _estimate_direct(
         # medium vertices have no surface to offset from
         o_sh = jnp.where(medium_scatter[..., None], si.p, o_sh)
     t_sh = ls.dist * (1.0 - geom.SHADOW_EPSILON) - 1e-3
-    occluded = _scene_intersect_p(
-        scene, o_sh, ls.wi, jnp.maximum(t_sh, 1e-4), time=time
-    )
+    # non-contributing lanes get zero-length shadow rays (block-level skip
+    # in the cluster intersector; no radiometric effect — their result is
+    # masked out below)
+    t_sh = jnp.where(contributes, jnp.maximum(t_sh, 1e-4), jnp.float32(1e-4))
+    occluded = _scene_intersect_p(scene, o_sh, ls.wi, t_sh, time=time)
     vis = contributes & ~occluded
 
     # delta lights: unweighted; area lights: power heuristic
@@ -540,7 +542,9 @@ def _bounce_once(
     pixel, sample = st.pixel, st.sample
     dim_base = DIM_BOUNCE_BASE + bounce_idx * DIMS_PER_BOUNCE
 
-    t_max = jnp.full((n,), 1e30, jnp.float32)
+    # dead lanes trace zero-length rays: the cluster-culled intersector
+    # (ops/pallas_cluster) then skips whole blocks whose lanes are all dead
+    t_max = jnp.where(st.alive, jnp.float32(1e30), jnp.float32(1e-4))
     hit, t, prim_idx = _scene_intersect(scene, st.o, st.d, t_max, time=st.time)
     hit = hit & st.alive
     # detach the discrete intersection result; shading below re-derives
@@ -941,7 +945,7 @@ def li_direct(
 
     def bounce(bounce_idx, st):
         dim_base = DIM_BOUNCE_BASE + bounce_idx * DIMS_PER_BOUNCE
-        t_max = jnp.full((n,), 1e30, f32)
+        t_max = jnp.where(st.alive, f32(1e30), f32(1e-4))
         hit, t, prim_idx = _scene_intersect(scene, st.o, st.d, t_max, time=st.time)
         hit = hit & st.alive
         si = isect.surface_interaction(

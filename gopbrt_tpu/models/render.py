@@ -54,6 +54,10 @@ class RenderSettings(NamedTuple):
     # procedural textures (checker closed-form box filter).  The footprint
     # is scaled by 1/sqrt(spp) — ScaleDifferentials (integrator.go:246-247)
     texture_aa: bool = True
+    # crop window ((x0, y0), (x1, y1)) in NDC fractions of the film — the
+    # reference's Film crop (film.go:42-59 CroppedPixelBounds): only pixels
+    # inside the crop are sampled and stored.  None = full film.
+    crop: Optional[tuple] = None
     # wavefront chunk: pixels per launch segment inside a pass.  Bounds the
     # peak HBM footprint of the bounce loop's carried state (the analogue of
     # the reference's 16px tiles, integrator.go:297-299 — but chunked for
@@ -248,6 +252,42 @@ def render_pass(
     return film
 
 
+def crop_pixel_bounds(settings: RenderSettings):
+    """CroppedPixelBounds (film.go:53-59): ceil/ceil bounds of the crop."""
+    (cx0, cy0), (cx1, cy1) = settings.crop
+    w, h = settings.width, settings.height
+    x0 = int(np.ceil(w * cx0))
+    x1 = min(int(np.ceil(w * cx1)), w)
+    y0 = int(np.ceil(h * cy0))
+    y1 = min(int(np.ceil(h * cy1)), h)
+    assert x1 > x0 and y1 > y0, "empty crop window"
+    return x0, x1, y0, y1
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _render_pass_crop(
+    scene: Scene,
+    camera: cam_mod.Camera,
+    film: film_mod.Film,
+    settings: RenderSettings,
+    sample_base: jnp.ndarray,
+) -> film_mod.Film:
+    """One pass over the crop window only (scatter splat; out-of-crop taps
+    drop).  Pixel ids stay GLOBAL, so a crop render is bit-consistent with
+    the same region of the full render (same counter streams)."""
+    x0, x1, y0, y1 = crop_pixel_bounds(settings)
+    w = settings.width
+    xs = jnp.arange(x0, x1, dtype=jnp.uint32)[None, :]
+    ys = jnp.arange(y0, y1, dtype=jnp.uint32)[:, None]
+    pixel_idx = (ys * jnp.uint32(w) + xs).reshape(-1)
+    for s in range(settings.samples_per_pass):
+        sample_idx = jnp.broadcast_to(
+            sample_base.astype(jnp.uint32) + jnp.uint32(s), pixel_idx.shape
+        )
+        film = render_wave(scene, camera, film, settings, pixel_idx, sample_idx)
+    return film
+
+
 def render(
     scene: Scene,
     camera: cam_mod.Camera,
@@ -275,8 +315,9 @@ def render(
         ck = _load_checkpoint(checkpoint_path, settings)
         if ck is not None:
             film, start_pass = ck
+    pass_fn = render_pass if settings.crop is None else _render_pass_crop
     for p in range(start_pass, n_passes):
-        film = render_pass(
+        film = pass_fn(
             scene, camera, film, settings, jnp.uint32(p * settings.samples_per_pass)
         )
         if checkpoint_path is not None and (
@@ -287,7 +328,11 @@ def render(
         if progress is not None:
             jax.block_until_ready(film)
             progress(p + 1, n_passes)
-    return film_mod.develop(film)
+    img = film_mod.develop(film)
+    if settings.crop is not None:
+        x0, x1, y0, y1 = crop_pixel_bounds(settings)
+        img = img[y0:y1, x0:x1]
+    return img
 
 
 def _checkpoint_key(settings: RenderSettings) -> str:

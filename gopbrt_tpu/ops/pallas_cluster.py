@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 from gopbrt_tpu.ops.intersect import Primitives, SPHERE, DISK, TRIANGLE
 from gopbrt_tpu.ops.pallas_intersect import _prim_test, _flatten_w2o
 
-RB = 1024       # rays per grid step
+RB = 1024       # ray lanes per row
+RROWS = 8       # ray rows per grid step (f32 sublane tiling requires 8)
 M = 128         # prims per cluster (16 sublane-steps of 8)
 SUB = 8         # prims tested per VPU op (f32 sublane count)
 _BIG = 1e30
@@ -127,13 +128,30 @@ def _cluster_kernel(
     n_clusters, types, full_sph, full_disk, any_hit,
     cb_ref,  # SMEM f32[K, 8]
     tri_ref,  # VMEM f32[K*M, _C_K]
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,  # [1, RB]
-    t_out, idx_out,  # [1, RB]
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,  # [RROWS, RB]
+    t_out, idx_out,  # [RROWS, RB]
     t_sc, idx_sc,  # scratch [SUB, RB]
 ):
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    tmax = tmax_ref[:]
+    # one row of RB rays at a time: ray data stays a [1, RB] lane vector so
+    # the SUB sublanes carry 8 different primitives per VPU op
+    for r in range(RROWS):
+        _trace_row(
+            n_clusters, types, full_sph, full_disk,
+            cb_ref, tri_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+            t_out, idx_out, t_sc, idx_sc, r,
+        )
+
+
+def _trace_row(
+    n_clusters, types, full_sph, full_disk,
+    cb_ref, tri_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+    t_out, idx_out, t_sc, idx_sc, r,
+):
+    ox, oy, oz = ox_ref[r : r + 1, :], oy_ref[r : r + 1, :], oz_ref[r : r + 1, :]
+    dx, dy, dz = dx_ref[r : r + 1, :], dy_ref[r : r + 1, :], dz_ref[r : r + 1, :]
+    tmax = tmax_ref[r : r + 1, :]
     inv = lambda v: 1.0 / jnp.where(
         jnp.abs(v) < 1e-20, jnp.where(v < 0, -1e-20, 1e-20), v
     )
@@ -190,7 +208,7 @@ def _cluster_kernel(
 
     jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
 
-    # reduce the SUB per-sublane bests to the block winner
+    # reduce the SUB per-sublane bests to the row winner
     t_all = t_sc[:]
     i_all = idx_sc[:]
     t_best = t_all[0:1]
@@ -201,8 +219,8 @@ def _cluster_kernel(
         better = cand_t < t_best
         t_best = jnp.where(better, cand_t, t_best)
         i_best = jnp.where(better, cand_i, i_best)
-    t_out[:] = t_best
-    idx_out[:] = i_best
+    t_out[r : r + 1, :] = t_best
+    idx_out[r : r + 1, :] = i_best
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -210,7 +228,7 @@ def cluster_intersect(clusters: Clusters, prims: Primitives, o, d, t_max,
                       interpret=False):
     """Closest hit over the cluster table: (hit[N], t[N], prim_idx[N])."""
     n = o.shape[0]
-    pad = (-n) % RB
+    pad = (-n) % (RROWS * RB)
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d = jnp.concatenate(
@@ -223,7 +241,7 @@ def cluster_intersect(clusters: Clusters, prims: Primitives, o, d, t_max,
     def as2d(x):
         return x.reshape(rows, RB)
 
-    ray_spec = pl.BlockSpec((1, RB), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((RROWS, RB), lambda i: (i, 0), memory_space=pltpu.VMEM)
     pinfo = prims.pinfo
     kernel = functools.partial(
         _cluster_kernel,
@@ -235,7 +253,7 @@ def cluster_intersect(clusters: Clusters, prims: Primitives, o, d, t_max,
     )
     t, slot = pl.pallas_call(
         kernel,
-        grid=(rows,),
+        grid=(rows // RROWS,),
         in_specs=[
             pl.BlockSpec(
                 (clusters.n_clusters, 8),

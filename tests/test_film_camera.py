@@ -141,3 +141,44 @@ class TestPerspectiveCamera:
         np.testing.assert_allclose(d[0], d[1], atol=1e-6)
         np.testing.assert_allclose(d[0], [0, 0, 1], atol=1e-6)
         assert not np.allclose(np.asarray(o)[0], np.asarray(o)[1])
+
+
+class TestCropWindow:
+    """Film crop window (film.go:42-59 CroppedPixelBounds): only crop pixels
+    are sampled/stored, and — because pixel ids stay global — the crop
+    render equals the same region of the full render exactly."""
+
+    def test_crop_equals_full_render_region(self):
+        import numpy as np
+        from gopbrt_tpu.models import render as render_mod
+        from gopbrt_tpu.models import camera as cam_mod
+        from gopbrt_tpu.models.scene import SceneBuilder
+        from gopbrt_tpu.ops import geom
+
+        b = SceneBuilder()
+        mat = b.matte(kd=(0.7, 0.5, 0.3))
+        b.sphere(np.asarray(geom.translate([0.0, 1.0, 0.0])), 1.0, mat)
+        floor = b.matte(kd=(0.4, 0.4, 0.4))
+        b.disk(np.asarray(geom.rotate_x(-90.0)), 40.0, floor)
+        b.point_light(p=(2.0, 6.0, 3.0), intensity=(60.0, 60.0, 60.0))
+        scene = b.build(accelerator="none")
+        cam = cam_mod.perspective_camera(
+            geom.look_at([0.0, 2.0, 5.0], [0.0, 1.0, 0.0], [0.0, 1.0, 0.0]),
+            32, 24, fov_deg=45.0,
+        )
+        settings = render_mod.RenderSettings(
+            width=32, height=24, spp=2, max_depth=2, samples_per_pass=2,
+        )
+        full = np.asarray(render_mod.render(scene, cam, settings))
+        crop = ((0.25, 0.25), (0.75, 0.75))
+        img = np.asarray(
+            render_mod.render(scene, cam, settings._replace(crop=crop))
+        )
+        x0, x1, y0, y1 = render_mod.crop_pixel_bounds(settings._replace(crop=crop))
+        assert img.shape == (y1 - y0, x1 - x0, 3)
+        # interior pixels match the full render bit-for-bit (same streams);
+        # the crop's border row/col may differ (filter taps from outside
+        # the crop are absent) -> compare the interior
+        np.testing.assert_allclose(
+            img[1:-1, 1:-1], full[y0 + 1 : y1 - 1, x0 + 1 : x1 - 1], atol=1e-6
+        )
