@@ -186,9 +186,11 @@ def _trace_row(
 
         @pl.when(jnp.any(hit_box))
         def _():
-            def member_step(j, _):
-                base = c * M + j * SUB
-                tile = tri_ref[pl.ds(base, SUB), :]  # [SUB, _C_K]
+            # one [M, _C_K] cluster-tile load, then static [SUB] slices —
+            # per-step dynamic loads would serialize the member loop
+            ctile = tri_ref[pl.ds(c * M, M), :]
+            for j in range(M // SUB):
+                tile = ctile[j * SUB : (j + 1) * SUB, :]
                 m = [tile[:, _C_W2O + k : _C_W2O + k + 1] for k in range(12)]
                 pr = [tile[:, _C_PAR + k : _C_PAR + k + 1] for k in range(9)]
                 pt = tile[:, _C_TYPE : _C_TYPE + 1].astype(jnp.int32)
@@ -199,10 +201,9 @@ def _trace_row(
                 )
                 better = tp < t_best
                 t_sc[:] = jnp.where(better, tp, t_best)
-                idx_sc[:] = jnp.where(better, base + sub_off, idx_sc[:])
-                return 0
-
-            jax.lax.fori_loop(0, M // SUB, member_step, 0)
+                idx_sc[:] = jnp.where(
+                    better, c * M + j * SUB + sub_off, idx_sc[:]
+                )
 
         return 0
 
