@@ -669,9 +669,11 @@ class SceneBuilder:
         # shapes: sphere/disk only
         if any(t not in (SPHERE, DISK) for t in self._prim_type):
             ok = False
-        # materials: matte sigma==0, no bump, no sss
+        # materials: matte sigma==0 or mirror; no bump, no sss
         for m in self._materials:
-            if m["mat_type"] != MATTE or m["sigma"] != 0.0 or m["bump_tex"] >= 0:
+            if m["mat_type"] not in (MATTE, MIRROR) or m["bump_tex"] >= 0:
+                ok = False
+            if m["mat_type"] == MATTE and m["sigma"] != 0.0:
                 ok = False
             t = m["kd_tex"]
             if t >= 0:

@@ -13,8 +13,8 @@ Scope (the closed fast-path set, ops/static_info.FastPathInfo — the demo
 workload of the reference, ``internal/render/server.go:30-164``):
   shapes     sphere / disk (partial clips supported via the shared
              ``pallas_intersect._prim_test``)
-  materials  matte with sigma == 0 (pure Lambert), kd constant or planar
-             checkerboard
+  materials  matte with sigma == 0 (pure Lambert; kd constant or planar
+             checkerboard) and mirror (delta reflection, constant kr)
   lights     point / distant / sphere diffuse-area, global (uniform/power)
              light distribution
   transforms rigid + uniform scale, det > 0, no reverse orientation
@@ -71,7 +71,9 @@ _SH_ALID = 15     # area_light_id (-1 none)
 _SH_SCALE2 = 16   # sigma^2 of the uniform scale (o2w_lin = s^2 * w2o_lin^T)
 _SH_TSS = 17      # |vs| texture-mapping scale (checker AA filter width)
 _SH_TST = 18      # |vt|
-_SH_K = 19
+_SH_MIR = 19      # is_mirror flag (SpecularReflection, reflection.go:538-574)
+_SH_KR = 20       # 20-22 mirror reflectance
+_SH_K = 23
 
 # light aux column layout (per light, f32[L, 8])
 _LA_TWO = 0       # two_sided flag
@@ -557,7 +559,10 @@ def _mega_kernel(
             b_pdf = jnp.where(same, jnp.abs(cos_i) * INV_PI, 0.0)
             f_max = jnp.maximum(kdr, jnp.maximum(kdg, kdb)) * f_gain
             li_max = jnp.maximum(lir, jnp.maximum(lig, lib))
-            contributes = alive & (ls_pdf > 0.0) & (li_max > 0.0) & (f_max > 0.0)
+            is_mir = shade[_SH_MIR] > 0.5
+            contributes = (
+                alive & ~is_mir & (ls_pdf > 0.0) & (li_max > 0.0) & (f_max > 0.0)
+            )
 
             # shadow ray (VisibilityTester.Unoccluded, light.go:46-48)
             sgn = jnp.where(_dot3(wix, wiy, wiz, nx, ny, nz) < 0.0, -1.0, 1.0)
@@ -601,9 +606,27 @@ def _mega_kernel(
         thr = jnp.where(
             ok, (INV_PI * cos_n) / jnp.maximum(pdf_b, 1e-20), 0.0
         )
-        bR = bR * kdr * thr
-        bG = bG * kdg * thr
-        bB = bB * kdb * thr
+        # mirror lanes: delta reflection (SpecularReflection with FresnelNoOp,
+        # mirror.go:21-32): wi = 2(wo.ns)ns - wo, f*cos/pdf == kr, pdf = 1
+        is_mir = shade[_SH_MIR] > 0.5
+        wix_m = 2.0 * cos_o * nx - wox
+        wiy_m = 2.0 * cos_o * ny - woy
+        wiz_m = 2.0 * cos_o * nz - woz
+        kr_max = jnp.maximum(
+            shade[_SH_KR], jnp.maximum(shade[_SH_KR + 1], shade[_SH_KR + 2])
+        )
+        ok = jnp.where(is_mir, kr_max > 0.0, ok)
+        wix_n = jnp.where(is_mir, wix_m, wix_n)
+        wiy_n = jnp.where(is_mir, wiy_m, wiy_n)
+        wiz_n = jnp.where(is_mir, wiz_m, wiz_n)
+        pdf_b = jnp.where(is_mir, 1.0, pdf_b)
+        fR = jnp.where(is_mir, shade[_SH_KR], kdr * thr)
+        fG = jnp.where(is_mir, shade[_SH_KR + 1], kdg * thr)
+        fB = jnp.where(is_mir, shade[_SH_KR + 2], kdb * thr)
+        ok_f = jnp.where(ok, 1.0, 0.0)
+        bR = bR * fR * ok_f
+        bG = bG * fG * ok_f
+        bB = bB * fB * ok_f
         alive = alive & ok & (jnp.maximum(bR, jnp.maximum(bG, bB)) > 0.0)
 
         sgn_n = jnp.where(
@@ -627,7 +650,7 @@ def _mega_kernel(
         return (
             ox, oy, oz, dx, dy, dz, bR, bG, bB, LR, LG, LB,
             jnp.where(alive, 1.0, 0.0).astype(f32),
-            jnp.zeros_like(spec_f),  # matte is never specular
+            jnp.where(is_mir, 1.0, 0.0).astype(f32),  # specular continuation
             pdf_b,
             fw_hit if use_cone else cw,
         )
@@ -662,7 +685,8 @@ def _shade_table(scene) -> jnp.ndarray:
     mats = scene.materials
     tex = scene.textures
     mid = prims.material_id
-    kd = mats.kd[mid]
+    is_mirror = mats.mat_type[mid] == 1  # bsdf.MIRROR
+    kd = jnp.where(is_mirror[:, None], 0.0, mats.kd[mid])
     kt_id = mats.kd_tex[mid]
     safe = jnp.maximum(kt_id, 0)
     is_tex = kt_id >= 0
@@ -689,6 +713,8 @@ def _shade_table(scene) -> jnp.ndarray:
         scale2[:, None],
         jnp.sqrt(jnp.sum(vs * vs, axis=-1))[:, None],  # |vs| (checker AA)
         jnp.sqrt(jnp.sum(vt * vt, axis=-1))[:, None],  # |vt|
+        is_mirror.astype(jnp.float32)[:, None],
+        mats.kr[mid],
     ]
     return jnp.concatenate(cols, axis=1)
 

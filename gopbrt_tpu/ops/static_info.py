@@ -61,7 +61,7 @@ class FastPathInfo:
     (ops/pallas_megakernel.py) — the closed fast-path feature set:
 
       shapes     sphere / disk only
-      materials  matte with sigma == 0, no bump, no subsurface
+      materials  matte with sigma == 0 or mirror; no bump, no subsurface
       kd texture constant, or checkerboard with PLANAR mapping
       lights     point / distant / sphere diffuse-area, global (non-spatial)
                  light distribution, 1..16 lights

@@ -96,3 +96,31 @@ def test_megakernel_gradient_path_replay(demo):
     np.testing.assert_allclose(
         np.asarray(g_fused), np.asarray(g_ref), rtol=1e-5, atol=1e-7
     )
+
+
+def test_megakernel_mirror_cornell_parity():
+    """Mirror lobe in the kernel: the Cornell config (matte walls + mirror
+    sphere + sphere area light) is on the fast path and must match the jnp
+    chain per lane."""
+    from gopbrt_tpu.models.gallery import config2
+
+    scene, camera, settings = config2(48, 48)
+    assert scene.fastinfo is not None and scene.fastinfo.ok
+    n = 48 * 48
+    pixel = jnp.arange(n, dtype=jnp.uint32)
+    sample = jnp.zeros((n,), jnp.uint32)
+    p_film, u_lens = render_mod.camera_samples(settings, pixel, sample, jnp.uint32(9))
+    o, d = cam_mod.generate_rays(camera, p_film, u_lens)
+    cfg = integrators.PathConfig(max_depth=5, rr_threshold=1.0)
+    ref = np.asarray(
+        integrators._li_jnp(scene, o, d, pixel, sample, jnp.uint32(9), cfg)
+    )
+    got = np.asarray(
+        mk.path_li_fused(scene, o, d, pixel, sample, jnp.uint32(9), cfg,
+                         interpret=True)
+    )
+    assert np.all(np.isfinite(got))
+    diff = np.abs(got - ref).max(axis=-1)
+    rel = diff / (1e-3 + np.abs(ref).max(axis=-1))
+    assert np.mean(rel < 1e-3) > 0.99, f"agreement {np.mean(rel < 1e-3):.4f}"
+    assert abs(got.mean() - ref.mean()) < 5e-3 * max(ref.mean(), 1e-6)
