@@ -615,7 +615,9 @@ def _mega_kernel(
         kr_max = jnp.maximum(
             shade[_SH_KR], jnp.maximum(shade[_SH_KR + 1], shade[_SH_KR + 2])
         )
-        ok = jnp.where(is_mir, kr_max > 0.0, ok)
+        # NOTE: no jnp.where on bool vectors — Mosaic cannot select between
+        # i1 vectors (see pallas_intersect.py:66-70); use logical ops.
+        ok = (is_mir & (kr_max > 0.0)) | (~is_mir & ok)
         wix_n = jnp.where(is_mir, wix_m, wix_n)
         wiy_n = jnp.where(is_mir, wiy_m, wiy_n)
         wiz_n = jnp.where(is_mir, wiz_m, wiz_n)
