@@ -136,7 +136,7 @@ def _cluster_kernel(
     # the SUB sublanes carry 8 different primitives per VPU op
     for r in range(RROWS):
         _trace_row(
-            n_clusters, types, full_sph, full_disk,
+            n_clusters, types, full_sph, full_disk, any_hit,
             cb_ref, tri_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             t_out, idx_out, t_sc, idx_sc, r,
@@ -144,7 +144,7 @@ def _cluster_kernel(
 
 
 def _trace_row(
-    n_clusters, types, full_sph, full_disk,
+    n_clusters, types, full_sph, full_disk, any_hit,
     cb_ref, tri_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
     t_out, idx_out, t_sc, idx_sc, r,
@@ -157,7 +157,18 @@ def _trace_row(
     )
     idx, idy, idz = inv(dx), inv(dy), inv(dz)
 
-    t_sc[:] = jnp.broadcast_to(tmax, (SUB, RB))
+    if any_hit:
+        # TRUE any-hit (bvh.go:767-823 IntersectP): lanes that are dead
+        # (t_max <= 2e-4, the integrators' masked shadow rays) start with a
+        # poisoned t so the slab test culls every cluster for them; lanes
+        # that find any hit get poisoned the same way below.  Once a whole
+        # block is resolved the ``pl.when(any(hit_box))`` gate skips the
+        # member tests of every remaining cluster — the early-out.
+        t_sc[:] = jnp.broadcast_to(
+            jnp.where(tmax <= 2e-4, -1.0, tmax), (SUB, RB)
+        )
+    else:
+        t_sc[:] = jnp.broadcast_to(tmax, (SUB, RB))
     idx_sc[:] = jnp.full((SUB, RB), -1, jnp.int32)
     # sublane slot offsets 0..7 for global prim-slot ids
     sub_off = jax.lax.broadcasted_iota(jnp.int32, (SUB, RB), 0)
@@ -204,10 +215,24 @@ def _trace_row(
                 idx_sc[:] = jnp.where(
                     better, c * M + j * SUB + sub_off, idx_sc[:]
                 )
+            if any_hit:
+                # poison resolved lanes: every later cluster slab-misses
+                # them, and fully resolved blocks skip member tests
+                occ_row = jnp.max(idx_sc[:], axis=0, keepdims=True) >= 0
+                t_sc[:] = jnp.where(
+                    jnp.broadcast_to(occ_row, (SUB, RB)), -1.0, t_sc[:]
+                )
 
         return 0
 
     jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
+
+    if any_hit:
+        # no winner reduction: occluded iff any sublane accepted a hit
+        occ = jnp.max(idx_sc[:], axis=0, keepdims=True)
+        t_out[r : r + 1, :] = tmax
+        idx_out[r : r + 1, :] = occ
+        return
 
     # reduce the SUB per-sublane bests to the row winner
     t_all = t_sc[:]
@@ -224,10 +249,8 @@ def _trace_row(
     idx_out[r : r + 1, :] = i_best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def cluster_intersect(clusters: Clusters, prims: Primitives, o, d, t_max,
-                      interpret=False):
-    """Closest hit over the cluster table: (hit[N], t[N], prim_idx[N])."""
+def _cluster_call(clusters: Clusters, prims: Primitives, o, d, t_max,
+                  interpret, any_hit):
     n = o.shape[0]
     pad = (-n) % (RROWS * RB)
     if pad:
@@ -250,7 +273,7 @@ def cluster_intersect(clusters: Clusters, prims: Primitives, o, d, t_max,
         prims.types,
         pinfo.all_full_spheres if pinfo is not None else False,
         pinfo.all_full_disks if pinfo is not None else False,
-        False,
+        any_hit,
     )
     t, slot = pl.pallas_call(
         kernel,
@@ -283,6 +306,17 @@ def cluster_intersect(clusters: Clusters, prims: Primitives, o, d, t_max,
         as2d(d[:, 0]), as2d(d[:, 1]), as2d(d[:, 2]),
         as2d(t_max),
     )
+    return t, slot, total
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cluster_intersect(clusters: Clusters, prims: Primitives, o, d, t_max,
+                      interpret=False):
+    """Closest hit over the cluster table: (hit[N], t[N], prim_idx[N])."""
+    n = o.shape[0]
+    t, slot, total = _cluster_call(
+        clusters, prims, o, d, t_max, interpret, False
+    )
     slot = slot.reshape(total)[:n]
     t = t.reshape(total)[:n]
     hit = slot >= 0
@@ -291,9 +325,14 @@ def cluster_intersect(clusters: Clusters, prims: Primitives, o, d, t_max,
     return hit, jnp.where(hit, t, t_max[:n]), jnp.maximum(prim, 0)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def cluster_intersect_p(clusters: Clusters, prims: Primitives, o, d, t_max,
                         interpret=False):
-    """Any-hit variant (shadow rays). Returns bool[N]."""
-    hit, _, _ = cluster_intersect(clusters, prims, o, d, t_max,
-                                  interpret=interpret)
-    return hit
+    """TRUE any-hit variant (shadow rays): first accepted hit poisons the
+    lane so later clusters slab-cull it; fully resolved blocks skip member
+    tests entirely.  Returns bool[N]."""
+    n = o.shape[0]
+    _, occ, total = _cluster_call(
+        clusters, prims, o, d, t_max, interpret, True
+    )
+    return occ.reshape(total)[:n] >= 0

@@ -273,8 +273,99 @@ def intersect_brute_pallas(prims: Primitives, o, d, t_max, interpret=False):
     return hit, jnp.where(hit, t, t_max[:n]), jnp.maximum(idx, 0)
 
 
+def _intersect_any_kernel(
+    n_prims, types, full_sph, full_disk,
+    ptype_ref, w2o_ref, params_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+    occ_out,
+):
+    """TRUE any-hit (VisibilityTester.Unoccluded, light.go:46-48): no winner
+    reduction, and the primitive loop exits as soon as every lane in the
+    block is resolved (occluded, or dead: t_max <= 2e-4 marks the masked
+    shadow rays the integrators emit for non-contributing lanes).  Shadow
+    rays are ~half of all traversal work (one per NEE vertex,
+    integrator.go:87-130) — this is the early-out the reference's
+    IntersectP traversal gets from its stack walk (bvh.go:767-823)."""
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tmax = tmax_ref[:]
+    dead = tmax <= 2e-4
+    occ0 = jnp.zeros(ox.shape, jnp.int32)
+
+    def step(p, occ):
+        ptype = ptype_ref[p]
+        m = [w2o_ref[p, k] for k in range(12)]
+        pr = [params_ref[p, k] for k in range(9)]
+        tp = _prim_test(ptype, m, pr, ox, oy, oz, dx, dy, dz, tmax,
+                        types=types, full_sph=full_sph, full_disk=full_disk)
+        return occ | (tp < tmax).astype(jnp.int32)
+
+    if n_prims <= UNROLL_MAX:
+        occ = occ0
+        for p in range(n_prims):
+            occ = step(p, occ)
+    else:
+        def cond(carry):
+            p, occ = carry
+            return (p < n_prims) & ~jnp.all((occ > 0) | dead)
+
+        def body(carry):
+            p, occ = carry
+            return p + 1, step(p, occ)
+
+        _, occ = jax.lax.while_loop(cond, body, (jnp.int32(0), occ0))
+    occ_out[:] = occ
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def intersect_p_brute_pallas(prims: Primitives, o, d, t_max, interpret=False):
     """Any-hit variant (shadow rays). Returns bool[N]."""
-    hit, _, _ = intersect_brute_pallas(prims, o, d, t_max, interpret=interpret)
-    return hit
+    n = o.shape[0]
+    p_cnt = prims.count
+    pad = (-n) % BLOCK
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))])
+        t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0, t_max.dtype)])
+    total = n + pad
+    rows = total // LANE
+
+    def as2d(x):
+        return x.reshape(rows, LANE)
+
+    grid = (rows // SUB,)
+    ray_spec = pl.BlockSpec(
+        (SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM
+    )
+    pinfo = prims.pinfo
+    kernel = functools.partial(
+        _intersect_any_kernel, p_cnt,
+        prims.types,
+        pinfo.all_full_spheres if pinfo is not None else False,
+        pinfo.all_full_disks if pinfo is not None else False,
+    )
+    occ = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            smem((p_cnt,)),
+            smem((p_cnt, 12)),
+            smem((p_cnt, 9)),
+            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+            ray_spec,
+        ],
+        out_specs=[ray_spec],
+        out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.int32)],
+        interpret=interpret,
+    )(
+        prims.prim_type,
+        _flatten_w2o(prims),
+        prims.params,
+        as2d(o[:, 0]), as2d(o[:, 1]), as2d(o[:, 2]),
+        as2d(d[:, 0]), as2d(d[:, 1]), as2d(d[:, 2]),
+        as2d(t_max),
+    )[0]
+    return occ.reshape(total)[:n] > 0

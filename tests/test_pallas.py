@@ -78,3 +78,40 @@ class TestPallasOracle:
             )
         )
         np.testing.assert_array_equal(bp, pp)
+
+    def test_any_hit_early_exit_loop(self):
+        """>UNROLL_MAX prims exercises the while_loop early-exit path;
+        masked (dead) shadow lanes with tiny t_max must read unoccluded and
+        must not stall the exit condition."""
+        prims = random_sphere_scene(48, seed=7)
+        o, d = random_rays(640, seed=15)
+        t_max = np.full((640,), 1e30, np.float32)
+        dead = np.arange(640) % 3 == 0
+        t_max[dead] = 1e-4  # the integrators' masked-lane marker
+        t_max = jnp.asarray(t_max)
+        bp = np.asarray(intersect.intersect_p_brute(prims, o, d, t_max))
+        pp = np.asarray(
+            pallas_intersect.intersect_p_brute_pallas(
+                prims, o, d, t_max, interpret=True
+            )
+        )
+        assert not pp[dead].any()
+        np.testing.assert_array_equal(bp[~dead], pp[~dead])
+
+    def test_any_hit_respects_tmax(self):
+        """A hit beyond t_max must not occlude (shadow semantics)."""
+        prims = random_sphere_scene(40, seed=8)
+        o, d = random_rays(512, seed=16)
+        t_inf = jnp.full((512,), 1e30)
+        bh, bt, _ = intersect.intersect_brute(prims, o, d, t_inf)
+        bh, bt = np.asarray(bh), np.asarray(bt)
+        t_half = jnp.asarray(np.where(bh, bt * 0.5, 1e30).astype(np.float32))
+        pp = np.asarray(
+            pallas_intersect.intersect_p_brute_pallas(
+                prims, o, d, t_half, interpret=True
+            )
+        )
+        # rays whose only hits lie beyond t_max: cannot be occluded unless a
+        # second, nearer surface exists inside the shortened range
+        oracle = np.asarray(intersect.intersect_p_brute(prims, o, d, t_half))
+        np.testing.assert_array_equal(oracle, pp)

@@ -70,3 +70,25 @@ def test_cluster_any_hit(mesh_scene):
                                interpret=True)
     )
     assert (h_brute == h_pc).mean() > 0.999
+
+
+def test_cluster_any_hit_dead_lanes_and_tmax(mesh_scene):
+    """The early-exit any-hit kernel: masked lanes (t_max <= 2e-4) read
+    unoccluded, and hits beyond t_max don't occlude."""
+    scene = mesh_scene
+    o, d = _random_rays(768, seed=3)
+    _, t_ref, _ = pc.cluster_intersect(
+        scene.clusters, scene.prims, o, d,
+        jnp.full((768,), 1e30, jnp.float32), interpret=True,
+    )
+    t_max = np.asarray(t_ref) * 0.5  # halve: first hits fall out of range
+    dead = np.arange(768) % 4 == 0
+    t_max[dead] = 1e-4
+    t_max = jnp.asarray(t_max.astype(np.float32))
+    occ = np.asarray(
+        pc.cluster_intersect_p(scene.clusters, scene.prims, o, d, t_max,
+                               interpret=True)
+    )
+    oracle = np.asarray(isect.intersect_p_brute(scene.prims, o, d, t_max))
+    assert not occ[dead].any()
+    assert (occ[~dead] == oracle[~dead]).mean() > 0.999
