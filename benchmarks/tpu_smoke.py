@@ -126,6 +126,44 @@ def check_cluster_intersect() -> str:
     return f"cluster agree={agree:.4f}"
 
 
+def check_mesh_megakernel() -> str:
+    """mesh_li_fused compiled vs the jnp chain on a small mesh scene."""
+    from gopbrt_tpu.models import integrators
+    from gopbrt_tpu.models.meshes import build_mesh_scene, mesh_camera
+    from gopbrt_tpu.models.render import RenderSettings
+    from gopbrt_tpu.ops import pallas_mesh_megakernel as pmm
+
+    scene = build_mesh_scene(n_lat=16, n_lon=16)
+    assert scene.fastinfo.mesh_ok and scene.meshkernel is not None
+    w, h = 64, 36
+    settings = RenderSettings(width=w, height=h, spp=1, max_depth=3)
+    o, d, pixel, sample = _rays(scene, mesh_camera(w, h), settings, w * h, 5)
+    cfg = integrators.PathConfig(max_depth=3, rr_threshold=1.0)
+    got = np.asarray(
+        jax.block_until_ready(
+            pmm.mesh_li_fused(
+                scene, o, d, pixel, sample, jnp.uint32(5), cfg, interpret=False
+            )
+        )
+    )
+    assert np.all(np.isfinite(got)), "mesh kernel: non-finite radiance"
+    old_pi, old_mk = integrators.USE_PALLAS_INTERSECT, integrators.USE_MEGAKERNEL
+    integrators.USE_PALLAS_INTERSECT = False
+    integrators.USE_MEGAKERNEL = False
+    try:
+        ref = np.asarray(
+            integrators._li_jnp(scene, o, d, pixel, sample, jnp.uint32(5), cfg)
+        )
+    finally:
+        integrators.USE_PALLAS_INTERSECT = old_pi
+        integrators.USE_MEGAKERNEL = old_mk
+    rel = np.abs(got - ref).max(axis=-1) / (1e-3 + np.abs(ref).max(axis=-1))
+    agree = np.mean(rel < 1e-3)
+    assert agree > 0.98, f"mesh kernel: lane agreement {agree:.4f}"
+    assert abs(got.mean() - ref.mean()) < 1e-2 * max(ref.mean(), 1e-6)
+    return f"mesh agree={agree:.4f}"
+
+
 def check_megakernel(config_name: str, builder, depth: int, seed: int) -> str:
     """path_li_fused compiled vs the jnp chain on a fast-path config."""
     from gopbrt_tpu.models import integrators
@@ -187,6 +225,9 @@ def main() -> int:
         ("mega_demo", lambda: check_megakernel("demo", demo_cfg, 5, 7)),
         ("mega_mirror_cornell",
          lambda: check_megakernel("config2", gallery.config2, 5, 9)),
+        ("mega_glass",
+         lambda: check_megakernel("config4", gallery.config4, 8, 3)),
+        ("mega_mesh", check_mesh_megakernel),
     ]
     results = {}
     failed = False

@@ -74,6 +74,10 @@ class PathConfig(NamedTuple):
     # full-width bounce loop with early exit once every lane is dead
     # (while_loop — forward-only; autodiff uses the static fori_loop)
     early_exit: bool = False
+    # max consecutive null-material boundary crossings handled per bounce
+    # (path.go:72-78 passthrough, expressed as a static segment walk);
+    # only compiled in for scenes that contain a null material
+    null_passes: int = 2
 
 
 # below this primitive count the dense masked test beats lockstep BVH
@@ -109,6 +113,27 @@ def _megakernel_on(scene: Scene, cfg: "PathConfig") -> bool:
         and getattr(scene.fastinfo, "ok", False)
         and scene.prims.anim is None
         and scene.prims.count <= BRUTE_FORCE_CUTOFF  # kernel is brute-force
+        and cfg.nee
+        and cfg.mis
+        and not cfg.compaction
+        and not cfg.early_exit
+    )
+
+
+def _mesh_megakernel_on(scene: Scene, cfg: "PathConfig") -> bool:
+    """Static gate for the MESH megakernel (cluster traversal in-kernel,
+    ops/pallas_mesh_megakernel.py) — BVH-class scenes on TPU."""
+    enabled = (
+        USE_MEGAKERNEL
+        if USE_MEGAKERNEL is not None
+        else jax.default_backend() == "tpu"
+    )
+    return bool(
+        enabled
+        and scene.fastinfo is not None
+        and getattr(scene.fastinfo, "mesh_ok", False)
+        and scene.meshkernel is not None
+        and scene.prims.anim is None
         and cfg.nee
         and cfg.mis
         and not cfg.compaction
@@ -425,10 +450,15 @@ def _to_world(ss, ts, ns, v):
 
 def _estimate_direct(
     scene: Scene, si, mp, ss, ts, ns, active, seed, pixel, sample, dim_base,
-    medium_scatter=None, time=None,
+    medium_scatter=None, time=None, fixed_light=None, phase_g=None,
+    medium_ids=None, null_passes=0,
 ):
     """One-light NEE with MIS — UniformSampleOneLight + EstimateDirect
     (integrator.go:48-77, 79-195) over the wavefront.
+
+    fixed_light: int light index for the sample-all-lights strategy
+    (UniformSampleAllLights, integrator.go:23-46) — the caller sums this
+    over the light table and no pick pmf is applied.
 
     Returns rgb[N] direct-lighting contribution (already divided by the
     light-pick pmf).  The BSDF-sampling MIS branch for area lights is
@@ -446,11 +476,22 @@ def _estimate_direct(
     if n_lights == 0:
         return jnp.zeros(si.p.shape, jnp.float32)
 
-    u_pick = rng.sample_1d(seed, pixel, sample, dim_base + D_LIGHT_PICK)
-    light_idx, pick_pmf = _light_pick(scene, jax.lax.stop_gradient(si.p), u_pick)
-    light_idx = jax.lax.stop_gradient(light_idx)
+    if fixed_light is None:
+        u_pick = rng.sample_1d(seed, pixel, sample, dim_base + D_LIGHT_PICK)
+        light_idx, pick_pmf = _light_pick(
+            scene, jax.lax.stop_gradient(si.p), u_pick
+        )
+        light_idx = jax.lax.stop_gradient(light_idx)
+        uv_dim = dim_base + D_LIGHT_UV
+    else:
+        # sample-all-lights strategy (UniformSampleAllLights,
+        # integrator.go:23-46): the caller loops the light table; no pick
+        # pmf, and each light draws from a disjoint dimension region
+        light_idx = jnp.full(si.p.shape[:-1], fixed_light, jnp.int32)
+        pick_pmf = jnp.ones(si.p.shape[:-1], jnp.float32)
+        uv_dim = rng.DIM_ALL_LIGHT_BASE + dim_base * 64 + 2 * fixed_light
 
-    u_light = rng.sample_2d(seed, pixel, sample, dim_base + D_LIGHT_UV)
+    u_light = rng.sample_2d(seed, pixel, sample, uv_dim)
     ls = light_ops.sample_li(
         scene.lights, light_idx, si.p, u_light, scene.world_radius
     )
@@ -464,8 +505,10 @@ def _estimate_direct(
         from gopbrt_tpu.ops import media as media_ops
 
         # phase function in place of f·cos; pdf equals the phase value
-        # (HG importance-samples itself exactly)
-        ph = media_ops.hg_phase(dot(si.wo, ls.wi), scene.medium.g)
+        # (HG importance-samples itself exactly).  phase_g: per-lane HG
+        # asymmetry when the scene uses bounded media
+        g_here = phase_g if phase_g is not None else scene.medium.g
+        ph = media_ops.hg_phase(dot(si.wo, ls.wi), g_here)
         f = jnp.where(medium_scatter[..., None], ph[..., None], f)
         b_pdf = jnp.where(medium_scatter, ph, b_pdf)
 
@@ -487,7 +530,18 @@ def _estimate_direct(
     # in the cluster intersector; no radiometric effect — their result is
     # masked out below)
     t_sh = jnp.where(contributes, jnp.maximum(t_sh, 1e-4), jnp.float32(1e-4))
-    occluded = _scene_intersect_p(scene, o_sh, ls.wi, t_sh, time=time)
+    if null_passes > 0:
+        # boundary-walking transmittance (Scene.IntersectTr, scene.go:58-77):
+        # closest hits instead of any-hit; null boundaries are stepped
+        # through (switching the medium and accumulating each segment's Tr);
+        # any non-null hit occludes
+        occluded, tr_walk = _intersect_tr(
+            scene, o_sh, ls.wi, t_sh, medium_ids, contributes, null_passes,
+            time=time,
+        )
+    else:
+        occluded = _scene_intersect_p(scene, o_sh, ls.wi, t_sh, time=time)
+        tr_walk = None
     vis = contributes & ~occluded
 
     # delta lights: unweighted; area lights: power heuristic
@@ -502,12 +556,73 @@ def _estimate_direct(
             ..., None
         ]
     )
-    if scene.medium is not None:
+    if tr_walk is not None:
+        contrib = contrib * tr_walk
+    elif medium_ids is not None:
+        from gopbrt_tpu.ops import media as media_ops
+
+        # bounded media without null boundaries: the shadow segment stays in
+        # the vertex's medium (any boundary surface would occlude anyway)
+        sig_t, _, _ = media_ops.table_lookup(scene.media, medium_ids)
+        contrib = contrib * jnp.exp(-sig_t * jnp.maximum(ls.dist, 0.0)[..., None])
+    elif scene.medium is not None:
         from gopbrt_tpu.ops import media as media_ops
 
         # VisibilityTester.Tr: Beer-Lambert along the unoccluded shadow ray
         contrib = contrib * media_ops.transmittance(scene.medium, ls.dist)
     return jnp.where(vis[..., None], contrib, 0.0)
+
+
+def _intersect_tr(scene: Scene, o, d, dist, medium0, active, null_passes,
+                  time=None):
+    """Walk a shadow ray across up to ``null_passes`` null-material
+    boundaries, accumulating per-segment Beer-Lambert transmittance in the
+    lane's CURRENT medium — Scene.IntersectTr (scene.go:58-77) over the
+    wavefront.  Returns (occluded bool[N], Tr f32[N,3])."""
+    from gopbrt_tpu.ops import media as media_ops
+
+    n = o.shape[0]
+    tr = jnp.ones((n, 3), jnp.float32)
+    occl = jnp.zeros((n,), bool)
+    o_w = o
+    mid_w = medium0 if medium0 is not None else jnp.full((n,), -1, jnp.int32)
+    rem = dist
+    walk = active
+    for _ in range(null_passes + 1):
+        t_lim = jnp.where(walk, jnp.maximum(rem, 1e-4), jnp.float32(1e-4))
+        hit_k, t_k, prim_k = _scene_intersect(scene, o_w, d, t_lim, time=time)
+        hit_k = hit_k & walk
+        t_k = jax.lax.stop_gradient(t_k)
+        seg = jnp.where(hit_k, t_k, jnp.maximum(rem, 0.0))
+        if scene.media is not None:
+            sig_t, _, _ = media_ops.table_lookup(scene.media, mid_w)
+            tr = jnp.where(
+                walk[..., None], tr * jnp.exp(-sig_t * seg[..., None]), tr
+            )
+        mat_k = scene.prims.material_id[prim_k]
+        is_null = hit_k & (scene.materials.mat_type[mat_k] == bsdf_ops.NULLMAT)
+        occl = occl | (hit_k & ~is_null)
+        # step through the boundary: advance origin, shrink range, switch
+        # medium per the interface
+        si_b = isect.surface_interaction(
+            scene.prims, is_null, t_k, prim_k, o_w, d, time=time
+        )
+        o_next = geom.offset_ray_origin(si_b.p, si_b.p_err + 1e-4, si_b.n, d)
+        o_w = jnp.where(is_null[..., None], o_next, o_w)
+        rem = jnp.where(is_null, rem - t_k, rem)
+        if scene.prims.medium_inside is not None:
+            going_in = dot(d, si_b.n) < 0.0
+            iv = jnp.where(
+                going_in,
+                scene.prims.medium_inside[prim_k],
+                scene.prims.medium_outside[prim_k],
+            )
+            mid_w = jnp.where(is_null & (iv > -2), iv, mid_w)
+        walk = is_null & (rem > 1e-4)
+    # lanes still walking after the pass budget: treat the remainder as
+    # occluded (conservative truncation, mirrors cfg.null_passes)
+    occl = occl | walk
+    return occl, tr
 
 
 class PathState(NamedTuple):
@@ -530,6 +645,10 @@ class PathState(NamedTuple):
     cone_w: jnp.ndarray  # f32[N] ray-cone footprint width at the origin —
     #   the wavefront ComputeDifferentials (interaction.go:225-297): grows
     #   by cone_spread*t per segment; drives texture filtering
+    medium: jnp.ndarray = None  # int32[N] current medium id into
+    #   Scene.media (-1 vacuum) — the per-ray Medium pointer
+    #   (pkg/pbrt/ray.go's Ray.Medium analogue); constant -1 and compiled
+    #   out for scenes without bounded media
 
 
 def _bounce_once(
@@ -542,49 +661,133 @@ def _bounce_once(
     pixel, sample = st.pixel, st.sample
     dim_base = DIM_BOUNCE_BASE + bounce_idx * DIMS_PER_BOUNCE
 
-    # dead lanes trace zero-length rays: the cluster-culled intersector
-    # (ops/pallas_cluster) then skips whole blocks whose lanes are all dead
-    t_max = jnp.where(st.alive, jnp.float32(1e30), jnp.float32(1e-4))
-    hit, t, prim_idx = _scene_intersect(scene, st.o, st.d, t_max, time=st.time)
-    hit = hit & st.alive
-    # detach the discrete intersection result; shading below re-derives
-    # geometry differentiably from (prim_idx, t)
-    t = jax.lax.stop_gradient(t)
-    prim_idx = jax.lax.stop_gradient(prim_idx)
-    si = isect.surface_interaction(
-        scene.prims, hit, t, prim_idx, st.o, st.d, time=st.time
-    )
-
-    # participating medium (compiled out when scene.medium is None): sample
-    # a scatter distance against the surface hit — HomogeneousMedium.Sample
-    # semantics with single-channel pick + spectral MIS over channels.
-    # Lanes that scatter before the surface become HG phase vertices; all
-    # lanes pay Beer-Lambert transmittance for the traversed segment.
     med = scene.medium
-    scatter = None
-    if med is not None:
+    use_tab = scene.media is not None  # bounded media (MediaTable)
+    has_null = (
+        scene.materials.info is not None
+        and bsdf_ops.NULLMAT in scene.materials.info.mat_types
+    )
+    has_iface = scene.prims.medium_inside is not None
+    any_medium = med is not None or use_tab
+    # null-material boundaries don't consume a path bounce (path.go:72-78):
+    # the closest hit becomes a short SEGMENT WALK — up to cfg.null_passes
+    # consecutive null crossings advance the ray (switching its medium per
+    # the interface) before the bounce proper.  Scenes without null
+    # materials compile a single segment (today's exact code + RNG streams).
+    n_seg = 1 + (cfg.null_passes if has_null else 0)
+
+    o_cur, d_ray = st.o, st.d
+    mid_cur = st.medium
+    walking = st.alive
+    beta_in = st.beta
+    f32 = jnp.float32
+    hit = jnp.zeros((n,), bool)         # finished on a real surface
+    scatter_acc = jnp.zeros((n,), bool)  # finished at a medium vertex
+    t = jnp.full((n,), f32(1e30))
+    prim_idx = jnp.zeros((n,), jnp.int32)
+    o_eff = st.o                         # origin of the finishing segment
+    p_med = st.o
+    for k in range(n_seg):
+        t_lim = jnp.where(walking, f32(1e30), f32(1e-4))
+        hit_k, t_k, prim_k = _scene_intersect(
+            scene, o_cur, d_ray, t_lim, time=st.time
+        )
+        hit_k = hit_k & walking
+        t_k = jax.lax.stop_gradient(t_k)
+        prim_k = jax.lax.stop_gradient(prim_k)
+
+        # per-segment medium sampling (HomogeneousMedium.Sample semantics,
+        # single-channel pick + spectral MIS over channels); per-lane
+        # coefficients when bounded media are present, vacuum lanes get
+        # sigma == 0 and flow through at weight 1
+        if any_medium:
+            from gopbrt_tpu.ops import media as media_ops
+
+            if use_tab:
+                sig_t, sig_s_l, _ = media_ops.table_lookup(scene.media, mid_cur)
+            else:
+                sig_t = jnp.broadcast_to(med.sigma_t, (n, 3))
+                sig_s_l = jnp.broadcast_to(med.sigma_s, (n, 3))
+            if k == 0:
+                mdim = dim_base + D_MEDIUM
+            else:  # later segments draw from a disjoint dimension region
+                mdim = rng.DIM_ALL_LIGHT_BASE // 2 + dim_base * 64 + 2 * k
+            u_mc = rng.sample_2d(seed, pixel, sample, mdim)
+            ch = jnp.minimum((u_mc[..., 0] * 3.0).astype(jnp.int32), 2)
+            st_ch = jnp.take_along_axis(sig_t, ch[..., None], axis=-1)[..., 0]
+            t_m = -jnp.log(jnp.maximum(1.0 - u_mc[..., 1], 1e-7)) / jnp.maximum(
+                st_ch, 1e-20
+            )
+            t_m = jax.lax.stop_gradient(t_m)
+            seg = jnp.where(hit_k, t_k, f32(1e8))
+            scat_k = walking & (t_m < seg)
+            t_used = jnp.minimum(t_m, seg)
+            tr = jnp.exp(-sig_t * t_used[..., None])
+            pdf_scat = jnp.mean(sig_t * tr, axis=-1)
+            pdf_surf = jnp.mean(tr, axis=-1)
+            w_med = jnp.where(
+                scat_k[..., None],
+                tr * sig_s_l / jnp.maximum(pdf_scat, 1e-20)[..., None],
+                tr / jnp.maximum(pdf_surf, 1e-20)[..., None],
+            )
+            beta_in = jnp.where(walking[..., None], beta_in * w_med, beta_in)
+            p_med = jnp.where(
+                scat_k[..., None], o_cur + d_ray * t_m[..., None], p_med
+            )
+        else:
+            scat_k = jnp.zeros((n,), bool)
+
+        # null-boundary classification + passthrough
+        if has_null:
+            mat_k = scene.prims.material_id[prim_k]
+            is_null_k = (
+                hit_k & ~scat_k
+                & (scene.materials.mat_type[mat_k] == bsdf_ops.NULLMAT)
+            )
+        else:
+            is_null_k = jnp.zeros((n,), bool)
+        finish_k = walking & ~is_null_k
+        hit = jnp.where(finish_k, hit_k & ~scat_k, hit)
+        scatter_acc = jnp.where(finish_k, scat_k, scatter_acc)
+        t = jnp.where(finish_k, t_k, t)
+        prim_idx = jnp.where(finish_k, prim_k, prim_idx)
+        o_eff = jnp.where(finish_k[..., None], o_cur, o_eff)
+
+        if has_null and k + 1 < n_seg:
+            # advance through the boundary: spawn just past the surface and
+            # switch the lane's medium per the interface (medium.go:15-25)
+            si_b = isect.surface_interaction(
+                scene.prims, is_null_k, t_k, prim_k, o_cur, d_ray,
+                time=st.time,
+            )
+            o_next = geom.offset_ray_origin(
+                si_b.p, si_b.p_err + 1e-4, si_b.n, d_ray
+            )
+            o_cur = jnp.where(is_null_k[..., None], o_next, o_cur)
+            if has_iface:
+                going_in = geom.dot(d_ray, si_b.n) < 0.0
+                iv = jnp.where(
+                    going_in,
+                    scene.prims.medium_inside[prim_k],
+                    scene.prims.medium_outside[prim_k],
+                )
+                # -2 = "no transition" sentinel: keep the current medium
+                mid_cur = jnp.where(is_null_k & (iv > -2), iv, mid_cur)
+        walking = walking & is_null_k
+        if not has_null:
+            break
+
+    scatter = scatter_acc if any_medium else None
+    si = isect.surface_interaction(
+        scene.prims, hit, t, prim_idx, o_eff, d_ray, time=st.time
+    )
+    # per-lane phase asymmetry + medium ids for NEE shadow transmittance
+    if use_tab:
         from gopbrt_tpu.ops import media as media_ops
 
-        sig_t = med.sigma_t  # f32[3]
-        u_mc = rng.sample_2d(seed, pixel, sample, dim_base + D_MEDIUM)
-        ch = jnp.minimum((u_mc[..., 0] * 3.0).astype(jnp.int32), 2)
-        t_m = media_ops.sample_distance(med, u_mc[..., 1], ch)
-        t_m = jax.lax.stop_gradient(t_m)  # detached discrete distance
-        seg = jnp.where(hit, t, jnp.float32(1e8))
-        scatter = st.alive & (t_m < seg)
-        t_used = jnp.minimum(t_m, seg)
-        tr = jnp.exp(-sig_t * t_used[..., None])  # f32[N,3]
-        pdf_scat = jnp.mean(sig_t * tr, axis=-1)
-        pdf_surf = jnp.mean(tr, axis=-1)
-        w_med = jnp.where(
-            scatter[..., None],
-            tr * med.sigma_s / jnp.maximum(pdf_scat, 1e-20)[..., None],
-            tr / jnp.maximum(pdf_surf, 1e-20)[..., None],
-        )
-        beta_in = st.beta * w_med
-        p_med = st.o + st.d * t_m[..., None]
+        _, _, phase_g = media_ops.table_lookup(scene.media, mid_cur)
     else:
-        beta_in = st.beta
+        phase_g = None
 
     # emitted radiance at hit (path.go:48-63): only when the previous
     # bounce was specular/camera (else NEE already counted it, MIS'd
@@ -666,7 +869,9 @@ def _bounce_once(
     if cfg.nee:
         L = L + beta0 * _estimate_direct(
             scene, si, mp, ss, ts, ns, alive, seed, pixel, sample, dim_base,
-            medium_scatter=scatter, time=st.time,
+            medium_scatter=scatter, time=st.time, phase_g=phase_g,
+            medium_ids=(mid_cur if use_tab else None),
+            null_passes=(cfg.null_passes if has_null else 0),
         )
 
     # BSDF sampling (path.go:91-101)
@@ -693,7 +898,9 @@ def _bounce_once(
         from gopbrt_tpu.ops import media as media_ops
 
         u_ph = rng.sample_2d(seed, pixel, sample, dim_base + D_PHASE)
-        wi_m, ph_pdf = media_ops.sample_phase(si.wo, u_ph, med.g)
+        wi_m, ph_pdf = media_ops.sample_phase(
+            si.wo, u_ph, phase_g if use_tab else med.g
+        )
         wi_m = jax.lax.stop_gradient(wi_m)
         wi_w = jnp.where(scatter[..., None], wi_m, wi_w)
         ok = ok | scatter
@@ -706,6 +913,21 @@ def _bounce_once(
     o_new = isect.spawn_ray(si, wi_w)
     if scatter is not None:
         o_new = jnp.where(scatter[..., None], si.p, o_new)
+
+    # medium switch on refractive boundary crossings (MediumInterface on a
+    # glass shell: SpecularTransmission carries the ray into the interior
+    # medium); scatter vertices and reflections keep their medium
+    if has_iface and use_tab:
+        crossed = alive & bs.is_transmission
+        if scatter is not None:
+            crossed = crossed & ~scatter
+        going_in = geom.dot(wi_w, si.n) < 0.0
+        iv = jnp.where(
+            going_in,
+            scene.prims.medium_inside[si.prim_idx],
+            scene.prims.medium_outside[si.prim_idx],
+        )
+        mid_cur = jnp.where(crossed & (iv > -2), iv, mid_cur)
 
     # Russian roulette (path.go:143-153)
     rr_beta_max = jnp.max(beta * eta_scale[..., None], axis=-1)
@@ -731,6 +953,7 @@ def _bounce_once(
         sample=sample,
         time=st.time,
         cone_w=(st.cone_w if cone_spread is None else fw_hit),
+        medium=mid_cur,
     )
 
 
@@ -837,6 +1060,12 @@ def li(
         from gopbrt_tpu.ops import pallas_megakernel as mk
 
         return mk.path_li_fused(scene, o, d, pixel, sample, seed, cfg, cone=cone)
+    if _mesh_megakernel_on(scene, cfg):
+        from gopbrt_tpu.ops import pallas_mesh_megakernel as pmm
+
+        return pmm.mesh_li_fused(
+            scene, o, d, pixel, sample, seed, cfg, cone=cone
+        )
     return _li_jnp(scene, o, d, pixel, sample, seed, cfg, time=time, cone=cone)
 
 
@@ -873,6 +1102,11 @@ def _li_jnp(
               else jnp.broadcast_to(jnp.asarray(time, f32), (n,))),
         cone_w=jnp.broadcast_to(
             jnp.asarray(0.0 if cone is None else cone[0], f32), (n,)
+        ),
+        medium=jnp.full(
+            (n,),
+            scene.camera_medium if scene.media is not None else -1,
+            jnp.int32,
         ),
     )
     cone_spread = None if cone is None else cone[1]
@@ -916,16 +1150,21 @@ def li_direct(
     max_depth: int = 5,
     time=None,
     cone=None,
+    light_strategy: str = "one",
 ) -> jnp.ndarray:
-    """Direct-lighting integrator (directlighting.go:62-101): one-bounce NEE
-    plus recursion through *specular* surfaces only, expressed as a path
-    loop whose diffuse lanes terminate after their NEE estimate."""
-    cfg = PathConfig(max_depth=max_depth, nee=True, mis=True)
-    # The wavefront formulation subsumes DirectLighting: a path integrator
-    # whose non-specular lanes die after one scatter.  We reuse `li` with a
-    # dedicated config by masking diffuse continuation in a wrapper loop —
-    # simplest faithful equivalent: depth-limited path with RR disabled and
-    # continuation only through specular lobes.
+    """Direct-lighting integrator (directlighting.go:62-101): per-vertex NEE
+    plus recursion through *specular* surfaces only.
+
+    light_strategy: "one" = UniformSampleOneLight (integrator.go:48-77);
+    "all" = UniformSampleAll — every light sampled at every vertex with no
+    pick pmf (directlighting.go:10-15,84-95 + integrator.go:23-46).
+
+    EstimateDirect's BSDF-sampling MIS branch (integrator.go:133-192) is
+    realized wavefront-style: diffuse vertices scatter ONE more segment
+    whose only job is the emitter-hit check with the power-heuristic
+    complement, then die — combined, the two branches estimate the same
+    integral as the reference's in-vertex two-branch EstimateDirect.
+    """
     n = o.shape[0]
     f32 = jnp.float32
     state = PathState(
@@ -940,8 +1179,49 @@ def li_direct(
         cone_w=jnp.broadcast_to(
             jnp.asarray(0.0 if cone is None else cone[0], f32), (n,)
         ),
+        medium=jnp.full((n,), -1, jnp.int32),
     )
     cone_spread = None if cone is None else cone[1]
+
+    def emitted_mis(st, hit, t, prim_idx, si):
+        """Emitted radiance at a hit, MIS-weighted: specular-prev lanes get
+        weight 1 (path.go:48-63); diffuse-prev lanes are the EstimateDirect
+        BSDF branch and get the power-heuristic complement."""
+        le, hit_light = light_ops.le_emitted(
+            scene.lights, scene.prims.area_light_id, prim_idx, si.n, si.wo
+        )
+        if scene.n_lights > 0:
+            l_pdf = light_ops.pdf_li(
+                scene.lights, jnp.maximum(hit_light, 0), st.o, st.d
+            )
+            if light_strategy == "all":
+                pick_pmf = jnp.ones_like(l_pdf)  # every light always sampled
+            else:
+                pick_pmf = _light_pick_pmf(scene, st.o, jnp.maximum(hit_light, 0))
+            w = jnp.where(
+                st.specular,
+                1.0,
+                sampling.power_heuristic(1, st.prev_bsdf_pdf, 1, l_pdf * pick_pmf),
+            )
+        else:
+            w = jnp.where(st.specular, 1.0, 0.0)
+        return jnp.where(
+            (hit & (hit_light >= 0))[..., None], st.beta * le * w[..., None], 0.0
+        )
+
+    def nee(si, mp, ss, ts, ns, active, dim_base, st):
+        if light_strategy == "all":
+            out = jnp.zeros(si.p.shape, f32)
+            for li_ in range(scene.n_lights):
+                out = out + _estimate_direct(
+                    scene, si, mp, ss, ts, ns, active, seed, pixel, sample,
+                    dim_base, time=st.time, fixed_light=li_,
+                )
+            return out
+        return _estimate_direct(
+            scene, si, mp, ss, ts, ns, active, seed, pixel, sample, dim_base,
+            time=st.time,
+        )
 
     def bounce(bounce_idx, st):
         dim_base = DIM_BOUNCE_BASE + bounce_idx * DIMS_PER_BOUNCE
@@ -961,13 +1241,9 @@ def li_direct(
 
             tr_seg = media_ops.transmittance(scene.medium, jnp.where(hit, t, 0.0))
             st = st._replace(beta=st.beta * tr_seg)
-        le, hit_light = light_ops.le_emitted(
-            scene.lights, scene.prims.area_light_id, prim_idx, si.n, si.wo
-        )
-        L = st.L + jnp.where(
-            (hit & (hit_light >= 0) & st.specular)[..., None], st.beta * le, 0.0
-        )
-        alive = st.alive & hit
+        L = st.L + emitted_mis(st, hit, t, prim_idx, si)
+        # diffuse-continuation lanes existed only for the emitter check
+        alive = st.alive & hit & st.specular
         si = _apply_bump(scene, si, scene.prims.material_id[si.prim_idx])
         if cone_spread is not None:
             fw_hit = st.cone_w + cone_spread * jnp.abs(t)
@@ -984,30 +1260,46 @@ def li_direct(
                 time=st.time,
             )
         ss, ts, ns = _shading_frame(si)
-        L = L + beta0 * _estimate_direct(
-            scene, si, mp, ss, ts, ns, alive, seed, pixel, sample, dim_base,
-            time=st.time,
-        )
-        # specular continuation only (directlighting.go:97-101)
+        L = L + beta0 * nee(si, mp, ss, ts, ns, alive, dim_base, st)
+        # scatter: specular lanes recurse (directlighting.go:97-101);
+        # diffuse lanes get ONE MIS segment (see emitted_mis)
         u_b = rng.sample_2d(seed, pixel, sample, dim_base + D_BSDF_UV)
         u_lobe = rng.sample_1d(seed, pixel, sample, dim_base + D_BSDF_LOBE)
         wo_l = _to_local(ss, ts, ns, si.wo)
         bs = bsdf_ops.bsdf_sample(mp, wo_l, u_b, u_lobe)
         wi_w = _to_world(ss, ts, ns, bs.wi)
         cos_term = geom.absdot(wi_w, ns)
-        ok = bs.is_specular & (bs.pdf > 1e-9)
+        ok = (bs.pdf > 1e-9) & (jnp.max(jnp.abs(bs.f), axis=-1) > 0.0)
         beta = beta0 * jnp.where(
             ok[..., None], bs.f * (cos_term / jnp.maximum(bs.pdf, 1e-20))[..., None], 0.0
         )
         return PathState(
             o=isect.spawn_ray(si, wi_w), d=wi_w, beta=beta, L=L,
             eta_scale=st.eta_scale, alive=alive & ok,
-            specular=jnp.ones((n,), bool), prev_bsdf_pdf=bs.pdf,
+            specular=bs.is_specular, prev_bsdf_pdf=bs.pdf,
             pixel=st.pixel, sample=st.sample, time=st.time,
             cone_w=(st.cone_w if cone_spread is None else fw_hit),
+            medium=st.medium,
         )
 
     state = jax.lax.fori_loop(0, max_depth, bounce, state)
-    L = state.L
+    # final emission-only pass: lanes whose last vertex scattered (diffuse
+    # MIS segment, or a specular chain cut by max_depth hitting an emitter)
+    t_max = jnp.where(state.alive, f32(1e30), f32(1e-4))
+    hit_f, t_f, prim_f = _scene_intersect(
+        scene, state.o, state.d, t_max, time=state.time
+    )
+    hit_f = hit_f & state.alive
+    si_f = isect.surface_interaction(
+        scene.prims, hit_f, t_f, prim_f, state.o, state.d, time=state.time
+    )
+    if scene.medium is not None:
+        from gopbrt_tpu.ops import media as media_ops
+
+        tr_seg = media_ops.transmittance(
+            scene.medium, jnp.where(hit_f, t_f, 0.0)
+        )
+        state = state._replace(beta=state.beta * tr_seg)
+    L = state.L + emitted_mis(state, hit_f, t_f, prim_f, si_f)
     bad = ~jnp.all(jnp.isfinite(L), axis=-1)
     return jnp.where(bad[..., None], 0.0, jnp.maximum(L, 0.0))

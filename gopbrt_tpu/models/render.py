@@ -36,6 +36,10 @@ class RenderSettings(NamedTuple):
     rr_threshold: float = 1.0
     seed: int = 0
     integrator: str = "path"  # or "direct"
+    # NEE light strategy for the direct integrator: "one" =
+    # UniformSampleOneLight; "all" = UniformSampleAll — every light sampled
+    # at every vertex (directlighting.go:10-15, integrator.go:23-46)
+    light_strategy: str = "one"
     stratify: bool = True  # stratified pixel jitter (NewStratified, server.go:142)
     # pixel-sample pattern: "stratified" (default; NewStratified semantics),
     # "random" (sampler/random.go), or "halton" — scrambled Halton(2,3) with
@@ -137,6 +141,7 @@ def render_wave(
             scene, o, d, pixel_idx, sample_idx, seed,
             max_depth=settings.max_depth, time=time,
             cone=_cone(scene, camera, settings),
+            light_strategy=settings.light_strategy,
         )
     else:
         cfg = integrators.PathConfig(
@@ -184,6 +189,7 @@ def band_jitter_radiance(
             scene, o, d, pixel_idx, sample_flat, seed,
             max_depth=settings.max_depth, time=time,
             cone=_cone(scene, camera, settings),
+            light_strategy=settings.light_strategy,
         )
     else:
         cfg = integrators.PathConfig(

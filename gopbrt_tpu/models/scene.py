@@ -39,7 +39,9 @@ from gopbrt_tpu.ops.texture import (
     MAP_UV,
     MAP_PLANAR,
 )
-from gopbrt_tpu.ops.bsdf import MATTE, MIRROR, GLASS, PLASTIC, METAL, SUBSURFACE
+from gopbrt_tpu.ops.bsdf import (
+    MATTE, MIRROR, GLASS, PLASTIC, METAL, SUBSURFACE, NULLMAT,
+)
 
 
 class Materials(NamedTuple):
@@ -119,6 +121,19 @@ class Scene(NamedTuple):
     # accelerator for scenes above the brute-force cutoff; CPU keeps the
     # lockstep BVH.  None = no clusters built.
     clusters: Optional["object"] = None
+    # mesh-megakernel tables (ops/pallas_mesh_megakernel.MeshTables):
+    # triangle clusters + extras + material shade table, attached when
+    # fastinfo.mesh_ok and the scene is above the brute-force cutoff.
+    meshkernel: Optional["object"] = None
+    # per-primitive medium system (ops/media.MediaTable + the
+    # medium_inside/outside columns on Primitives): bounded media regions
+    # with null-material boundaries — the working MediumInterface
+    # (medium.go:15-25) + nil-material passthrough (path.go:72-78) +
+    # boundary-walking transmittance (Scene.IntersectTr, scene.go:58-77).
+    # None = no bounded media (the global ``medium`` above may still be set).
+    media: Optional["object"] = None
+    # index into ``media`` of the medium containing the camera; -1 = vacuum
+    camera_medium: int = -1
 
     @property
     def n_lights(self) -> int:
@@ -137,6 +152,9 @@ class SceneBuilder:
     light_strategy: str = "uniform"  # or "power" (lightdistribution.go:3-9)
 
     _medium: Optional[tuple] = None  # (sigma_a, sigma_s, g)
+    _media: list = field(default_factory=list)  # bounded media rows
+    _camera_medium: int = -1
+    _medium_iface: dict = field(default_factory=dict)  # prim -> (in, out)
 
     _prim_type: list = field(default_factory=list)
     _o2w: list = field(default_factory=list)
@@ -344,6 +362,34 @@ class SceneBuilder:
         in-scattering vertices when sigma_s > 0."""
         self._medium = (_rgb(sigma_a), _rgb(sigma_s), float(g))
 
+    def add_medium(self, sigma_a, sigma_s=(0.0, 0.0, 0.0), g: float = 0.0) -> int:
+        """Register a BOUNDED homogeneous medium and return its id for
+        ``medium_interface=`` on primitives / ``set_camera_medium`` —
+        the working MediumInterface system (medium.go:15-25): rays track
+        their current medium per lane and switch it when they cross a
+        boundary (null-material passthrough, path.go:72-78, or specular
+        transmission)."""
+        self._media.append((_rgb(sigma_a), _rgb(sigma_s), float(g)))
+        return len(self._media) - 1
+
+    def set_camera_medium(self, medium_id: int) -> None:
+        """Declare the medium containing the camera (-1 = vacuum)."""
+        self._camera_medium = int(medium_id)
+
+    def set_medium_interface(self, prim_id: int, inside: int,
+                             outside: int = -1) -> None:
+        """Attach a medium interface to a primitive: ``inside`` fills its
+        interior, ``outside`` its exterior (-1 = vacuum).  Pair with a
+        ``null_material`` primitive for a pure medium boundary, or with
+        glass for a filled shell."""
+        self._medium_iface[prim_id] = (int(inside), int(outside))
+
+    def null_material(self) -> int:
+        """Material-less boundary (the reference's nil material,
+        path.go:72-78): rays pass through without scattering or consuming
+        a bounce; only the medium interface acts."""
+        return self._add_material(mat_type=NULLMAT, kd=(0.0, 0.0, 0.0))
+
     # --- lights -----------------------------------------------------------
 
     def point_light(self, p, intensity) -> int:
@@ -485,6 +531,16 @@ class SceneBuilder:
                 t0=t0_, t1=t1_, q0=q0_, q1=q1_, s0=s0_, s1=s1_,
                 animated=animated,
             )
+        med_in = med_out = None
+        if self._medium_iface:
+            # -2 = "no transition" sentinel (a primitive without a declared
+            # interface leaves the ray's medium unchanged when crossed)
+            mi = np.full((n,), -2, np.int32)
+            mo = np.full((n,), -2, np.int32)
+            for pid, (i_in, i_out) in self._medium_iface.items():
+                mi[pid] = i_in
+                mo[pid] = i_out
+            med_in, med_out = jnp.asarray(mi), jnp.asarray(mo)
         prims = Primitives(
             prim_type=jnp.asarray(ptypes_np),
             obj_to_world=jnp.asarray(o2w),
@@ -495,6 +551,8 @@ class SceneBuilder:
             reverse_orientation=jnp.asarray(np.asarray(self._reverse, bool)),
             pinfo=pinfo,
             anim=anim,
+            medium_inside=med_in,
+            medium_outside=med_out,
         )
 
         # static lobe-set facts (compile out unused BSDF lobes)
@@ -506,6 +564,10 @@ class SceneBuilder:
             # the BSSRDF entry interface turns Fresnel-reflect lanes into
             # unit mirrors (integrators._subsurface_transport)
             mat_types.add(MIRROR)
+        if self._medium is not None or self._media:
+            # medium in-scatter vertices ride the wavefront as neutralized
+            # MATTE lanes (integrators._bounce_once splice)
+            mat_types.add(MATTE)
         minfo = MatInfo(
             mat_types=tuple(sorted(mat_types)),
             any_rough_glass=any(a > 1e-4 for a in glass_alphas),
@@ -569,6 +631,19 @@ class SceneBuilder:
                 sigma_s=jnp.asarray(ss, jnp.float32),
                 g=jnp.asarray(g, jnp.float32),
             )
+        media = None
+        if self._media:
+            from gopbrt_tpu.ops.media import MediaTable
+
+            assert self._medium is None, (
+                "bounded media (add_medium) and the global medium "
+                "(set_medium) are mutually exclusive"
+            )
+            media = MediaTable(
+                sigma_a=jnp.asarray([m[0] for m in self._media], jnp.float32),
+                sigma_s=jnp.asarray([m[1] for m in self._media], jnp.float32),
+                g=jnp.asarray([m[2] for m in self._media], jnp.float32),
+            )
         scene = Scene(
             prims=prims,
             materials=mats,
@@ -583,6 +658,8 @@ class SceneBuilder:
             light_grid=light_grid,
             medium=medium,
             fastinfo=self._fast_path_info(o2w),
+            media=media,
+            camera_medium=self._camera_medium,
         )
         if accelerator == "bvh" and n > 4:
             from gopbrt_tpu.ops import bvh as bvh_mod
@@ -600,6 +677,17 @@ class SceneBuilder:
                         prims, lo_b, hi_b, np.asarray(bvh.prim_order)
                     )
                 )
+                if scene.fastinfo.mesh_ok:
+                    # mesh megakernel tables: triangle clusters + extras
+                    # (ops/pallas_mesh_megakernel)
+                    from gopbrt_tpu.ops import pallas_mesh_megakernel as pmm
+
+                    scene = scene._replace(
+                        meshkernel=pmm.build_mesh_tables(
+                            scene, prims, lo_b, hi_b,
+                            np.asarray(bvh.prim_order),
+                        )
+                    )
         return scene
 
     def _build_textures(self) -> Textures:
@@ -665,16 +753,15 @@ class SceneBuilder:
         the fast path off and the jnp wavefront chain runs instead."""
         from gopbrt_tpu.ops.static_info import FastPathInfo
 
-        ok = True
-        # shapes: sphere/disk only
-        if any(t not in (SPHERE, DISK) for t in self._prim_type):
-            ok = False
-        # materials: matte sigma==0 or mirror; no bump, no sss
+        # conditions shared by the brute and mesh megakernels
+        common = True
         for m in self._materials:
-            if m["mat_type"] not in (MATTE, MIRROR) or m["bump_tex"] >= 0:
-                ok = False
+            if m["bump_tex"] >= 0:
+                common = False
             if m["mat_type"] == MATTE and m["sigma"] != 0.0:
-                ok = False
+                common = False
+            if m["mat_type"] == GLASS and m["roughness"] > 1e-4:
+                common = False  # rough glass: GGX lobes stay on the jnp chain
             t = m["kd_tex"]
             if t >= 0:
                 row = self._textures[t]
@@ -683,17 +770,23 @@ class SceneBuilder:
                 elif row["type"] == TEX_CHECKERBOARD and row["mapping"] == MAP_PLANAR:
                     pass
                 else:
-                    ok = False
+                    common = False
         # lights: point / distant / sphere-area, global distribution, 1..16
         if not (1 <= len(self._lights) <= 16) or self.light_strategy == "spatial":
-            ok = False
+            common = False
         for r in self._lights:
             if r["type"] == LIGHT_AREA and r["shape"] != SHAPE_SPHERE:
-                ok = False
+                common = False
         if self._medium is not None or any(self._reverse) or self._o2w_end:
-            ok = False
-        # transforms: rigid + uniform scale, det > 0 (the kernel derives
-        # sphere normals as normalize(p - center) and bakes disk normals)
+            common = False
+        # bounded media / null boundaries: jnp chain only
+        if self._media or self._medium_iface or any(
+            m["mat_type"] == NULLMAT for m in self._materials
+        ):
+            common = False
+        # transforms: rigid + uniform scale, det > 0 (both kernels derive
+        # sphere normals as normalize(p - center) and bake disk normals;
+        # world-space triangles carry identity rows, which pass trivially)
         lin = np.asarray(o2w, np.float64)[:, :3, :3]
         gram = np.einsum("pij,pkj->pik", lin, lin)
         scale2 = np.maximum(np.einsum("pii->p", gram) / 3.0, 1e-30)
@@ -705,8 +798,26 @@ class SceneBuilder:
                 atol=1e-4,
             )
         ):
+            common = False
+
+        # brute megakernel: sphere/disk shapes, matte/mirror/smooth-glass
+        ok = common
+        if any(t not in (SPHERE, DISK) for t in self._prim_type):
             ok = False
-        return FastPathInfo(ok=ok)
+        if any(m["mat_type"] not in (MATTE, MIRROR, GLASS)
+               for m in self._materials):
+            ok = False
+
+        # mesh megakernel: + triangles (<= 32 non-tri extras), + plastic,
+        # <= 16 materials (SMEM shade-table sweep cost)
+        mesh_ok = common and len(self._materials) <= 16
+        n_extras = sum(1 for t in self._prim_type if t != TRIANGLE)
+        if not any(t == TRIANGLE for t in self._prim_type) or n_extras > 32:
+            mesh_ok = False
+        if any(m["mat_type"] not in (MATTE, MIRROR, GLASS, PLASTIC)
+               for m in self._materials):
+            mesh_ok = False
+        return FastPathInfo(ok=ok, mesh_ok=mesh_ok)
 
     def _light_distribution(self, lights: Lights, world_radius: float):
         from gopbrt_tpu.ops import lights as lights_ops

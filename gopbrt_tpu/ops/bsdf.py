@@ -46,6 +46,13 @@ METAL = 4
 # version of the reference's never-assigned SurfaceInteraction.BSSRDF hook
 # (pkg/pbrt/bssrdf.go:3-12, pkg/integrator/path.go:120-141).
 SUBSURFACE = 5
+# Null material: no BSDF at all — the primitive is a pure medium boundary.
+# Rays pass straight through (without consuming a path bounce) and switch
+# their current medium per the primitive's MediumInterface — the working
+# version of the reference's nil-material passthrough (path.go:72-78) +
+# MediumAccessor (medium.go:15-25).  Handled in the integrator BEFORE BSDF
+# dispatch; no lane ever reaches the lobe code with this tag.
+NULLMAT = 6
 
 
 class MaterialParams(NamedTuple):

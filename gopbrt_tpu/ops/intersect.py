@@ -120,6 +120,11 @@ class Primitives(NamedTuple):
     # two-keyframe animation table; None (the common case) compiles all
     # time-interpolation out of the intersectors
     anim: "AnimPrims" = None
+    # per-primitive medium interface (MediumAccessor, medium.go:15-25):
+    # ids into Scene.media; -1 = vacuum.  None (the common case) compiles
+    # all medium-boundary handling out of the integrators.
+    medium_inside: jnp.ndarray = None  # int32[P]
+    medium_outside: jnp.ndarray = None  # int32[P]
 
     @property
     def count(self) -> int:

@@ -21,8 +21,7 @@ from gopbrt_tpu.ops.geom import INV_4PI, PI, dot
 
 class HomogeneousMedium(NamedTuple):
     """sigma_a/sigma_s per RGB channel, HG asymmetry g.  A single global
-    medium (the "camera medium"); per-primitive interior media are a
-    planned extension of the primitive table."""
+    medium (the "camera medium"); bounded regions use MediaTable below."""
 
     sigma_a: jnp.ndarray  # f32[3]
     sigma_s: jnp.ndarray  # f32[3]
@@ -31,6 +30,42 @@ class HomogeneousMedium(NamedTuple):
     @property
     def sigma_t(self) -> jnp.ndarray:
         return self.sigma_a + self.sigma_s
+
+
+class MediaTable(NamedTuple):
+    """SoA table of homogeneous media for PER-PRIMITIVE medium interfaces
+    (the working MediumAccessor/MediumInterface, ``pkg/pbrt/medium.go:15-25``
+    — the reference declares the accessors but ships no concrete Medium).
+
+    Each primitive carries (medium_inside, medium_outside) ids into this
+    table; -1 everywhere means vacuum.  Rays track their current medium id
+    per lane; id -1 samples zero sigma (no attenuation, no scattering), so
+    vacuum lanes flow through the same math at no radiometric cost.
+    """
+
+    sigma_a: jnp.ndarray  # f32[M,3]
+    sigma_s: jnp.ndarray  # f32[M,3]
+    g: jnp.ndarray  # f32[M]
+
+    @property
+    def count(self) -> int:
+        return self.sigma_a.shape[0]
+
+
+def table_lookup(media: MediaTable, mid: jnp.ndarray):
+    """Per-lane medium coefficients: (sigma_t[N,3], sigma_s[N,3], g[N]).
+
+    mid int32[N]; -1 (vacuum) yields zeros.  The table is tiny, so the
+    gather is a one-hot matmul under the hood (ops/intersect.gather_rows).
+    """
+    from gopbrt_tpu.ops.intersect import gather_rows
+
+    safe = jnp.maximum(mid, 0)
+    in_med = (mid >= 0)[..., None].astype(jnp.float32)
+    sig_t = gather_rows(media.sigma_a + media.sigma_s, safe) * in_med
+    sig_s = gather_rows(media.sigma_s, safe) * in_med
+    g = media.g[safe] * in_med[..., 0]
+    return sig_t, sig_s, g
 
 
 def transmittance(medium: HomogeneousMedium, dist: jnp.ndarray) -> jnp.ndarray:

@@ -14,7 +14,9 @@ workload of the reference, ``internal/render/server.go:30-164``):
   shapes     sphere / disk (partial clips supported via the shared
              ``pallas_intersect._prim_test``)
   materials  matte with sigma == 0 (pure Lambert; kd constant or planar
-             checkerboard) and mirror (delta reflection, constant kr)
+             checkerboard), mirror (delta reflection, constant kr), and
+             SMOOTH glass (FresnelSpecular R/T with etaScale,
+             reflection.go:465-536, ref bug #8 fixed like the jnp chain)
   lights     point / distant / sphere diffuse-area, global (uniform/power)
              light distribution
   transforms rigid + uniform scale, det > 0, no reverse orientation
@@ -49,6 +51,7 @@ from gopbrt_tpu.ops.rng import (
     D_LIGHT_PICK,
     D_LIGHT_UV,
     D_BSDF_UV,
+    D_BSDF_LOBE,
     D_RR,
 )
 
@@ -60,7 +63,7 @@ PI = math.pi
 INV_PI = 1.0 / math.pi
 _GOLDEN = 0x9E3779B9
 
-# shade-table column layout (per primitive, f32[P, 18])
+# shade-table column layout (per primitive, f32[P, _SH_K])
 _SH_C1 = 0        # 0-2  kd constant / checker colour 1
 _SH_C2 = 3        # 3-5  checker colour 2
 _SH_CHK = 6       # is_checker flag
@@ -72,8 +75,11 @@ _SH_SCALE2 = 16   # sigma^2 of the uniform scale (o2w_lin = s^2 * w2o_lin^T)
 _SH_TSS = 17      # |vs| texture-mapping scale (checker AA filter width)
 _SH_TST = 18      # |vt|
 _SH_MIR = 19      # is_mirror flag (SpecularReflection, reflection.go:538-574)
-_SH_KR = 20       # 20-22 mirror reflectance
-_SH_K = 23
+_SH_KR = 20       # 20-22 mirror/glass reflectance
+_SH_GLS = 23      # is smooth glass flag (FresnelSpecular, reflection.go:465-536)
+_SH_KT = 24       # 24-26 glass transmittance
+_SH_ETA = 27      # glass interior IOR
+_SH_K = 28
 
 # light aux column layout (per light, f32[L, 8])
 _LA_TWO = 0       # two_sided flag
@@ -166,6 +172,38 @@ def _offset_dist(nx, ny, nz, px, py, pz):
     return (jnp.abs(nx) + jnp.abs(ny) + jnp.abs(nz)) * 1e-4 + (
         jnp.abs(nx) * err + jnp.abs(ny) * err + jnp.abs(nz) * err
     )
+
+
+def sphere_area_pdf_li(rx, ry, rz, wx, wy, wz, cx, cy, cz, rad):
+    """Solid-angle pdf that sphere-cone sampling generates w from r
+    (ops/lights.pdf_li sphere branch; sphere.go:346-363).  Shared by the
+    brute and mesh megakernels (emitter-hit MIS weighting)."""
+    tcx, tcy, tcz = cx - rx, cy - ry, cz - rz
+    dc2 = tcx * tcx + tcy * tcy + tcz * tcz
+    outside = dc2 > rad * rad * 1.00002
+    sin2_tmax = jnp.clip(rad * rad / jnp.maximum(dc2, 1e-20), 0.0, 1.0)
+    cos_tmax = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tmax))
+    ncx, ncy, ncz = _normalize3(tcx, tcy, tcz, 1e-20)
+    cos_w = _dot3(ncx, ncy, ncz, wx, wy, wz)
+    in_cone = cos_w >= cos_tmax - 1e-6
+    pdf_cone = 1.0 / (
+        2.0 * PI * (1.0 - jnp.minimum(cos_tmax, 1.0 - 1e-7))
+    )
+    pdf_out = jnp.where(outside & in_cone, pdf_cone, 0.0)
+    # inside: analytic forward root of |oc + t w|^2 = rad^2
+    ocx, ocy, ocz = -tcx, -tcy, -tcz
+    b_half = _dot3(ocx, ocy, ocz, wx, wy, wz)
+    oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+    disc = jnp.maximum(rad * rad - (oc2 - b_half * b_half), 0.0)
+    t_hit = -b_half + jnp.sqrt(disc)
+    nhx, nhy, nhz = _normalize3(
+        ocx + wx * t_hit, ocy + wy * t_hit, ocz + wz * t_hit, 1e-20
+    )
+    cos_hit = jnp.abs(_dot3(nhx, nhy, nhz, wx, wy, wz))
+    pdf_in = (t_hit * t_hit) / jnp.maximum(
+        cos_hit * 4.0 * PI * rad * rad, 1e-12
+    )
+    return jnp.where(outside, pdf_out, pdf_in)
 
 
 # ---------------------------------------------------------------------------
@@ -273,39 +311,9 @@ def _mega_kernel(
             carry = step(l, carry)
         return carry
 
-    def sphere_area_pdf_li(rx, ry, rz, wx, wy, wz, cx, cy, cz, rad):
-        """Solid-angle pdf that sphere-cone sampling generates w from r
-        (ops/lights.pdf_li sphere branch; sphere.go:346-363)."""
-        tcx, tcy, tcz = cx - rx, cy - ry, cz - rz
-        dc2 = tcx * tcx + tcy * tcy + tcz * tcz
-        outside = dc2 > rad * rad * 1.00002
-        sin2_tmax = jnp.clip(rad * rad / jnp.maximum(dc2, 1e-20), 0.0, 1.0)
-        cos_tmax = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tmax))
-        ncx, ncy, ncz = _normalize3(tcx, tcy, tcz, 1e-20)
-        cos_w = _dot3(ncx, ncy, ncz, wx, wy, wz)
-        in_cone = cos_w >= cos_tmax - 1e-6
-        pdf_cone = 1.0 / (
-            2.0 * PI * (1.0 - jnp.minimum(cos_tmax, 1.0 - 1e-7))
-        )
-        pdf_out = jnp.where(outside & in_cone, pdf_cone, 0.0)
-        # inside: analytic forward root of |oc + t w|^2 = rad^2
-        ocx, ocy, ocz = -tcx, -tcy, -tcz
-        b_half = _dot3(ocx, ocy, ocz, wx, wy, wz)
-        oc2 = ocx * ocx + ocy * ocy + ocz * ocz
-        disc = jnp.maximum(rad * rad - (oc2 - b_half * b_half), 0.0)
-        t_hit = -b_half + jnp.sqrt(disc)
-        nhx, nhy, nhz = _normalize3(
-            ocx + wx * t_hit, ocy + wy * t_hit, ocz + wz * t_hit, 1e-20
-        )
-        cos_hit = jnp.abs(_dot3(nhx, nhy, nhz, wx, wy, wz))
-        pdf_in = (t_hit * t_hit) / jnp.maximum(
-            cos_hit * 4.0 * PI * rad * rad, 1e-12
-        )
-        return jnp.where(outside, pdf_out, pdf_in)
-
     def bounce(bounce_idx, st):
         (ox, oy, oz, dx, dy, dz, bR, bG, bB, LR, LG, LB,
-         alive_f, spec_f, prev_pdf, cw) = st
+         alive_f, spec_f, prev_pdf, cw, es) = st
         alive = alive_f > 0.5
         dim0 = (
             jnp.uint32(DIM_BOUNCE_BASE)
@@ -559,9 +567,9 @@ def _mega_kernel(
             b_pdf = jnp.where(same, jnp.abs(cos_i) * INV_PI, 0.0)
             f_max = jnp.maximum(kdr, jnp.maximum(kdg, kdb)) * f_gain
             li_max = jnp.maximum(lir, jnp.maximum(lig, lib))
-            is_mir = shade[_SH_MIR] > 0.5
+            is_spec = (shade[_SH_MIR] > 0.5) | (shade[_SH_GLS] > 0.5)
             contributes = (
-                alive & ~is_mir & (ls_pdf > 0.0) & (li_max > 0.0) & (f_max > 0.0)
+                alive & ~is_spec & (ls_pdf > 0.0) & (li_max > 0.0) & (f_max > 0.0)
             )
 
             # shadow ray (VisibilityTester.Unoccluded, light.go:46-48)
@@ -615,20 +623,72 @@ def _mega_kernel(
         kr_max = jnp.maximum(
             shade[_SH_KR], jnp.maximum(shade[_SH_KR + 1], shade[_SH_KR + 2])
         )
+
+        # smooth-glass lanes: FresnelSpecular (reflection.go:465-536, ref
+        # bug #8 fixed exactly like the jnp chain, ops/bsdf.py): pick R with
+        # prob F, T with prob 1-F; the f*cos/pdf throughput collapses to kr
+        # (reflect) or eta_ratio^2 * kt (transmit, radiance transport), and
+        # etaScale tracks 1/eta_ratio^2 for Russian roulette (path.go:105).
+        is_gls = shade[_SH_GLS] > 0.5
+        eta_g = jnp.maximum(shade[_SH_ETA], 1e-3)
+        entering = cos_o > 0.0
+        # dielectric Fresnel at |cos_o| (reflection.go:21-42)
+        ci = jnp.abs(jnp.clip(cos_o, -1.0, 1.0))
+        ei = jnp.where(entering, 1.0, eta_g)
+        et = jnp.where(entering, eta_g, 1.0)
+        sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+        sin_t = ei / et * sin_i
+        tir = sin_t >= 1.0
+        ct_f = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+        r_parl = (et * ci - ei * ct_f) / jnp.maximum(et * ci + ei * ct_f, 1e-20)
+        r_perp = (ei * ci - et * ct_f) / jnp.maximum(ei * ci + et * ct_f, 1e-20)
+        F = jnp.where(tir, 1.0, 0.5 * (r_parl * r_parl + r_perp * r_perp))
+        choose_r = u1(D_BSDF_LOBE) < F
+        # refraction about the oriented normal (reflection.go:106-118)
+        eta_ratio = jnp.where(entering, 1.0 / eta_g, eta_g)
+        sgn_e = jnp.where(entering, 1.0, -1.0)
+        sin2_tt = eta_ratio * eta_ratio * (1.0 - ci * ci)
+        ok_t = sin2_tt < 1.0
+        cos_tt = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tt))
+        coef = (eta_ratio * ci - cos_tt) * sgn_e
+        wtx, wty, wtz = _normalize3(
+            coef * nx - eta_ratio * wox,
+            coef * ny - eta_ratio * woy,
+            coef * nz - eta_ratio * woz,
+            1e-20,
+        )
+        ktr, ktg, ktb = shade[_SH_KT], shade[_SH_KT + 1], shade[_SH_KT + 2]
+        kt_max = jnp.maximum(ktr, jnp.maximum(ktg, ktb))
+        er2 = eta_ratio * eta_ratio
+        ok_g = (
+            (choose_r & (F > 1e-9) & (kr_max > 0.0))
+            | (~choose_r & ((1.0 - F) > 1e-9) & ok_t & (kt_max > 0.0))
+        )
+        wix_g = jnp.where(choose_r, wix_m, wtx)
+        wiy_g = jnp.where(choose_r, wiy_m, wty)
+        wiz_g = jnp.where(choose_r, wiz_m, wtz)
+        pdf_g = jnp.where(choose_r, F, 1.0 - F)
+        fR_g = jnp.where(choose_r, shade[_SH_KR], er2 * ktr)
+        fG_g = jnp.where(choose_r, shade[_SH_KR + 1], er2 * ktg)
+        fB_g = jnp.where(choose_r, shade[_SH_KR + 2], er2 * ktb)
+
         # NOTE: no jnp.where on bool vectors — Mosaic cannot select between
         # i1 vectors (see pallas_intersect.py:66-70); use logical ops.
-        ok = (is_mir & (kr_max > 0.0)) | (~is_mir & ok)
-        wix_n = jnp.where(is_mir, wix_m, wix_n)
-        wiy_n = jnp.where(is_mir, wiy_m, wiy_n)
-        wiz_n = jnp.where(is_mir, wiz_m, wiz_n)
-        pdf_b = jnp.where(is_mir, 1.0, pdf_b)
-        fR = jnp.where(is_mir, shade[_SH_KR], kdr * thr)
-        fG = jnp.where(is_mir, shade[_SH_KR + 1], kdg * thr)
-        fB = jnp.where(is_mir, shade[_SH_KR + 2], kdb * thr)
+        not_spec = ~is_mir & ~is_gls
+        ok = (is_mir & (kr_max > 0.0)) | (is_gls & ok_g) | (not_spec & ok)
+        wix_n = jnp.where(is_mir, wix_m, jnp.where(is_gls, wix_g, wix_n))
+        wiy_n = jnp.where(is_mir, wiy_m, jnp.where(is_gls, wiy_g, wiy_n))
+        wiz_n = jnp.where(is_mir, wiz_m, jnp.where(is_gls, wiz_g, wiz_n))
+        pdf_b = jnp.where(is_mir, 1.0, jnp.where(is_gls, pdf_g, pdf_b))
+        fR = jnp.where(is_mir, shade[_SH_KR], jnp.where(is_gls, fR_g, kdr * thr))
+        fG = jnp.where(is_mir, shade[_SH_KR + 1], jnp.where(is_gls, fG_g, kdg * thr))
+        fB = jnp.where(is_mir, shade[_SH_KR + 2], jnp.where(is_gls, fB_g, kdb * thr))
         ok_f = jnp.where(ok, 1.0, 0.0)
         bR = bR * fR * ok_f
         bG = bG * fG * ok_f
         bB = bB * fB * ok_f
+        # radiance scaling across refraction boundaries (path.go:105-115)
+        es = jnp.where(is_gls & ~choose_r & ok_t, es / jnp.maximum(er2, 1e-20), es)
         alive = alive & ok & (jnp.maximum(bR, jnp.maximum(bG, bB)) > 0.0)
 
         sgn_n = jnp.where(
@@ -639,8 +699,9 @@ def _mega_kernel(
         oz = pz + sgn_n * d_off * nz
         dx, dy, dz = wix_n, wiy_n, wiz_n
 
-        # ---- Russian roulette (path.go:143-153) ----------------------------
-        rr_max = jnp.maximum(bR, jnp.maximum(bG, bB))
+        # ---- Russian roulette (path.go:143-153); beta is weighted by the
+        # accumulated etaScale exactly like the jnp chain --------------------
+        rr_max = jnp.maximum(bR, jnp.maximum(bG, bB)) * es
         q = jnp.maximum(0.05, 1.0 - rr_max)
         u_rr = u1(D_RR)
         do_rr = (bounce_idx >= rr_start) & (rr_max < rr_threshold)
@@ -652,9 +713,11 @@ def _mega_kernel(
         return (
             ox, oy, oz, dx, dy, dz, bR, bG, bB, LR, LG, LB,
             jnp.where(alive, 1.0, 0.0).astype(f32),
-            jnp.where(is_mir, 1.0, 0.0).astype(f32),  # specular continuation
+            # specular continuation (mirror or smooth-glass delta lobe)
+            jnp.where(is_mir | is_gls, 1.0, 0.0).astype(f32),
             pdf_b,
             fw_hit if use_cone else cw,
+            es,
         )
 
     shape = ox_ref.shape
@@ -668,6 +731,7 @@ def _mega_kernel(
         zeros + 1.0,                            # specular (camera rays)
         zeros,                                  # prev_bsdf_pdf
         zeros + cone_w0,                        # ray-cone footprint width
+        zeros + 1.0,                            # etaScale (path.go:105-115)
     )
     state = jax.lax.fori_loop(0, max_depth, bounce, state)
     lr_ref[:] = state[9]
@@ -688,7 +752,8 @@ def _shade_table(scene) -> jnp.ndarray:
     tex = scene.textures
     mid = prims.material_id
     is_mirror = mats.mat_type[mid] == 1  # bsdf.MIRROR
-    kd = jnp.where(is_mirror[:, None], 0.0, mats.kd[mid])
+    is_glass = mats.mat_type[mid] == 2  # bsdf.GLASS (smooth on the fast path)
+    kd = jnp.where((is_mirror | is_glass)[:, None], 0.0, mats.kd[mid])
     kt_id = mats.kd_tex[mid]
     safe = jnp.maximum(kt_id, 0)
     is_tex = kt_id >= 0
@@ -717,6 +782,9 @@ def _shade_table(scene) -> jnp.ndarray:
         jnp.sqrt(jnp.sum(vt * vt, axis=-1))[:, None],  # |vt|
         is_mirror.astype(jnp.float32)[:, None],
         mats.kr[mid],
+        is_glass.astype(jnp.float32)[:, None],
+        mats.kt[mid],
+        mats.eta[mid][:, None],
     ]
     return jnp.concatenate(cols, axis=1)
 

@@ -45,6 +45,11 @@ D_RR = 6
 D_SSS = 7  # +4: entry Fresnel, probe axis, channel+radius, azimuth
 D_MEDIUM = 11  # +2: channel pick, distance
 D_PHASE = 13  # +2: HG cos-theta, azimuth
+# sample-all-lights strategy (UniformSampleAllLights, integrator.go:23-46):
+# per-light 2D samples live in a disjoint dimension region so they can
+# never collide with the 16-dim per-bounce stride above.  The dim for
+# (bounce dim_base, light l) is DIM_ALL_LIGHT_BASE + dim_base*64 + 2*l.
+DIM_ALL_LIGHT_BASE = 0x10000
 
 
 def hash_u32(x: jnp.ndarray) -> jnp.ndarray:

@@ -61,7 +61,8 @@ class FastPathInfo:
     (ops/pallas_megakernel.py) — the closed fast-path feature set:
 
       shapes     sphere / disk only
-      materials  matte with sigma == 0 or mirror; no bump, no subsurface
+      materials  matte with sigma == 0, mirror, or SMOOTH glass
+                 (FresnelSpecular); no rough glass, no bump, no subsurface
       kd texture constant, or checkerboard with PLANAR mapping
       lights     point / distant / sphere diffuse-area, global (non-spatial)
                  light distribution, 1..16 lights
@@ -72,9 +73,16 @@ class FastPathInfo:
     static aux data so the jit cache keys on it.  ``ok=False`` (or a Scene
     built without the builder, fastinfo=None) falls back to the jnp
     wavefront chain in models/integrators.py.
+
+    mesh_ok: the MESH megakernel's superset feature set
+    (ops/pallas_mesh_megakernel.py) — additionally allows TRIANGLE
+    primitives (<= 32 non-triangle "extras") and the PLASTIC material
+    (Lambert + GGX), with <= 16 materials.  Engaged only when the builder
+    also attached Scene.meshkernel (cluster tables, prim count > cutoff).
     """
 
     ok: bool = False
+    mesh_ok: bool = False
 
 
 ALL_PRIMS: Optional[PrimInfo] = None  # None = assume everything (tests)

@@ -39,16 +39,21 @@ def test_fastinfo_demo_scene_eligible(demo):
     assert scene.fastinfo is not None and scene.fastinfo.ok
 
 
-def test_fastinfo_rejects_glass():
+def test_fastinfo_accepts_smooth_rejects_rough_glass():
     from gopbrt_tpu.models.scene import SceneBuilder
     from gopbrt_tpu.ops import geom
 
     b = SceneBuilder()
-    m = b.glass()
+    m = b.glass()  # smooth: FresnelSpecular — in the megakernel fast set
     b.sphere(geom.translate([0.0, 0.0, 0.0]), 1.0, m)
     b.point_light(p=(0.0, 5.0, 0.0), intensity=(1.0, 1.0, 1.0))
-    scene = b.build(accelerator="none")
-    assert not scene.fastinfo.ok
+    assert b.build(accelerator="none").fastinfo.ok
+
+    b = SceneBuilder()
+    m = b.glass(roughness=0.2)  # rough: GGX lobes — jnp chain only
+    b.sphere(geom.translate([0.0, 0.0, 0.0]), 1.0, m)
+    b.point_light(p=(0.0, 5.0, 0.0), intensity=(1.0, 1.0, 1.0))
+    assert not b.build(accelerator="none").fastinfo.ok
 
 
 @pytest.mark.parametrize("depth", [1, 5])
@@ -124,3 +129,34 @@ def test_megakernel_mirror_cornell_parity():
     rel = diff / (1e-3 + np.abs(ref).max(axis=-1))
     assert np.mean(rel < 1e-3) > 0.99, f"agreement {np.mean(rel < 1e-3):.4f}"
     assert abs(got.mean() - ref.mean()) < 5e-3 * max(ref.mean(), 1e-6)
+
+
+def test_megakernel_glass_config4_parity():
+    """Smooth-glass lobe in the kernel (FresnelSpecular R/T + etaScale):
+    the BASELINE config-4 scene (glass sphere + two sphere area lights +
+    planar-checker floor) is on the fast path and must match the jnp chain
+    per lane — same RNG streams, so identical paths up to float noise."""
+    from gopbrt_tpu.models.gallery import config4
+
+    scene, camera, settings = config4(48, 48)
+    assert scene.fastinfo is not None and scene.fastinfo.ok
+    n = 48 * 48
+    pixel = jnp.arange(n, dtype=jnp.uint32)
+    sample = jnp.zeros((n,), jnp.uint32)
+    p_film, u_lens = render_mod.camera_samples(settings, pixel, sample, jnp.uint32(3))
+    o, d = cam_mod.generate_rays(camera, p_film, u_lens)
+    cfg = integrators.PathConfig(max_depth=8, rr_threshold=1.0)
+    ref = np.asarray(
+        integrators._li_jnp(scene, o, d, pixel, sample, jnp.uint32(3), cfg)
+    )
+    got = np.asarray(
+        mk.path_li_fused(scene, o, d, pixel, sample, jnp.uint32(3), cfg,
+                         interpret=True)
+    )
+    assert np.all(np.isfinite(got))
+    diff = np.abs(got - ref).max(axis=-1)
+    rel = diff / (1e-3 + np.abs(ref).max(axis=-1))
+    # glass paths chain several discrete Fresnel choices; allow a slightly
+    # larger tail of float-noise flips than the matte/mirror configs
+    assert np.mean(rel < 1e-3) > 0.98, f"agreement {np.mean(rel < 1e-3):.4f}"
+    assert abs(got.mean() - ref.mean()) < 1e-2 * max(ref.mean(), 1e-6)
