@@ -231,26 +231,10 @@ def render_sharded(
     return film_mod.develop(film)
 
 
-def init_distributed(**kwargs) -> bool:
-    """Initialize JAX multi-host coordination (``jax.distributed``) when the
-    environment provides a coordinator (JAX_COORDINATOR_ADDRESS or explicit
-    kwargs) — the DCN bring-up for multi-host pods; ICI collectives inside
-    shard_map need no further setup.  Returns True when initialized.
-
-    Single-host runs (no coordinator configured) are a no-op: the in-process
-    mesh over local devices is already fully functional.
-    """
-    import os
-
-    if jax.process_count() > 1:
-        return True  # already initialized
-    has_env = os.environ.get("JAX_COORDINATOR_ADDRESS") or kwargs.get(
-        "coordinator_address"
-    )
-    if not has_env:
-        return False
-    jax.distributed.initialize(**kwargs)
-    return True
+# multi-host bring-up: import-light module so workers can initialize
+# BEFORE importing the renderer (which touches the backend at import) —
+# re-exported here for the public API
+from gopbrt_tpu.parallel.dist import init_distributed  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
