@@ -115,3 +115,28 @@ CONFIGS = {
     "config3_mesh_bvh": config3,
     "config4_arealights_glass": config4,
 }
+
+# golden-image rendering overrides (tests/goldens): configs 2 and 4 carry
+# the multi-bounce MIS/specular math where a subtle estimator bug hides
+# inside MC noise at low spp — render their goldens bigger and at 64 spp
+# so the noise floor sits well below the tolerance gates (VERDICT r3 #10).
+GOLDEN_SETTINGS = {
+    "config2_cornell_mirror": dict(width=128, height=128, spp=64,
+                                   samples_per_pass=8),
+    "config4_arealights_glass": dict(width=128, height=128, spp=64,
+                                     samples_per_pass=8),
+}
+
+
+def golden_config(name):
+    """(scene, camera, settings) exactly as the golden images render."""
+    ov = GOLDEN_SETTINGS.get(name, {})
+    w = ov.get("width")
+    scene, cam_, settings = (
+        CONFIGS[name](ov["width"], ov["height"]) if w else CONFIGS[name]()
+    )
+    if ov:
+        settings = settings._replace(
+            spp=ov["spp"], samples_per_pass=ov["samples_per_pass"]
+        )
+    return scene, cam_, settings

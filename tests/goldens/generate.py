@@ -23,11 +23,11 @@ import numpy as np
 def main() -> None:
     from gopbrt_tpu.models import film as film_mod
     from gopbrt_tpu.models import render as render_mod
-    from gopbrt_tpu.models.gallery import CONFIGS
+    from gopbrt_tpu.models.gallery import CONFIGS, golden_config
 
     out_dir = os.path.dirname(os.path.abspath(__file__))
-    for name, cfg in sorted(CONFIGS.items()):
-        scene, cam, settings = cfg()
+    for name in sorted(CONFIGS):
+        scene, cam, settings = golden_config(name)
         img = np.asarray(render_mod.render(scene, cam, settings))
         np.savez_compressed(
             os.path.join(out_dir, name + ".npz"), img=img.astype(np.float16)
