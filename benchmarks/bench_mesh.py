@@ -1,9 +1,11 @@
 """BVH-in-anger throughput: path-trace the BASELINE config-3 mesh scene.
 
 Renders models/meshes.build_mesh_scene (10,224-triangle tessellated sphere
-+ checker floor + point/area lights) at 1080p 1spp depth-5 through the
-lockstep BVH traversal (ops/bvh.py) and reports camera-rays/s — the
-recorded "BVH rays/s" number VERDICT r2 asked for.  Run on TPU.
++ checker floor + point/area lights) at 1spp depth-5 and reports
+camera-rays/s.  On TPU the whole path trace runs in the fused MESH
+megakernel (ops/pallas_mesh_megakernel.py — cluster traversal inlined in
+the bounce loop); off the fast path it falls back to the jnp wavefront
+chain + standalone cluster intersector.
 
 Usage: python benchmarks/bench_mesh.py [--width W --height H --depth D]
 """

@@ -817,7 +817,8 @@ class SceneBuilder:
         if any(m["mat_type"] not in (MATTE, MIRROR, GLASS, PLASTIC)
                for m in self._materials):
             mesh_ok = False
-        return FastPathInfo(ok=ok, mesh_ok=mesh_ok)
+        has_glass = any(m["mat_type"] == GLASS for m in self._materials)
+        return FastPathInfo(ok=ok, mesh_ok=mesh_ok, has_glass=has_glass)
 
     def _light_distribution(self, lights: Lights, world_radius: float):
         from gopbrt_tpu.ops import lights as lights_ops

@@ -214,7 +214,7 @@ def sphere_area_pdf_li(rx, ry, rz, wx, wy, wz, cx, cy, cz, rad):
 def _mega_kernel(
     # static
     n_prims, n_lights, max_depth, rr_start, rr_threshold,
-    types, full_sph, full_disk, any_checker, use_cone,
+    types, full_sph, full_disk, any_checker, use_cone, any_glass,
     # SMEM tables
     seed_ref, ptype_ref, w2o_ref, params_ref, shade_ref,
     ltype_ref, lpos_ref, lint_ref, laux_ref, lcdf_ref, scal_ref,
@@ -567,7 +567,9 @@ def _mega_kernel(
             b_pdf = jnp.where(same, jnp.abs(cos_i) * INV_PI, 0.0)
             f_max = jnp.maximum(kdr, jnp.maximum(kdg, kdb)) * f_gain
             li_max = jnp.maximum(lir, jnp.maximum(lig, lib))
-            is_spec = (shade[_SH_MIR] > 0.5) | (shade[_SH_GLS] > 0.5)
+            is_spec = shade[_SH_MIR] > 0.5
+            if any_glass:
+                is_spec = is_spec | (shade[_SH_GLS] > 0.5)
             contributes = (
                 alive & ~is_spec & (ls_pdf > 0.0) & (li_max > 0.0) & (f_max > 0.0)
             )
@@ -624,71 +626,89 @@ def _mega_kernel(
             shade[_SH_KR], jnp.maximum(shade[_SH_KR + 1], shade[_SH_KR + 2])
         )
 
-        # smooth-glass lanes: FresnelSpecular (reflection.go:465-536, ref
-        # bug #8 fixed exactly like the jnp chain, ops/bsdf.py): pick R with
-        # prob F, T with prob 1-F; the f*cos/pdf throughput collapses to kr
-        # (reflect) or eta_ratio^2 * kt (transmit, radiance transport), and
-        # etaScale tracks 1/eta_ratio^2 for Russian roulette (path.go:105).
-        is_gls = shade[_SH_GLS] > 0.5
-        eta_g = jnp.maximum(shade[_SH_ETA], 1e-3)
-        entering = cos_o > 0.0
-        # dielectric Fresnel at |cos_o| (reflection.go:21-42)
-        ci = jnp.abs(jnp.clip(cos_o, -1.0, 1.0))
-        ei = jnp.where(entering, 1.0, eta_g)
-        et = jnp.where(entering, eta_g, 1.0)
-        sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
-        sin_t = ei / et * sin_i
-        tir = sin_t >= 1.0
-        ct_f = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
-        r_parl = (et * ci - ei * ct_f) / jnp.maximum(et * ci + ei * ct_f, 1e-20)
-        r_perp = (ei * ci - et * ct_f) / jnp.maximum(ei * ci + et * ct_f, 1e-20)
-        F = jnp.where(tir, 1.0, 0.5 * (r_parl * r_parl + r_perp * r_perp))
-        choose_r = u1(D_BSDF_LOBE) < F
-        # refraction about the oriented normal (reflection.go:106-118)
-        eta_ratio = jnp.where(entering, 1.0 / eta_g, eta_g)
-        sgn_e = jnp.where(entering, 1.0, -1.0)
-        sin2_tt = eta_ratio * eta_ratio * (1.0 - ci * ci)
-        ok_t = sin2_tt < 1.0
-        cos_tt = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tt))
-        coef = (eta_ratio * ci - cos_tt) * sgn_e
-        wtx, wty, wtz = _normalize3(
-            coef * nx - eta_ratio * wox,
-            coef * ny - eta_ratio * woy,
-            coef * nz - eta_ratio * woz,
-            1e-20,
-        )
-        ktr, ktg, ktb = shade[_SH_KT], shade[_SH_KT + 1], shade[_SH_KT + 2]
-        kt_max = jnp.maximum(ktr, jnp.maximum(ktg, ktb))
-        er2 = eta_ratio * eta_ratio
-        ok_g = (
-            (choose_r & (F > 1e-9) & (kr_max > 0.0))
-            | (~choose_r & ((1.0 - F) > 1e-9) & ok_t & (kt_max > 0.0))
-        )
-        wix_g = jnp.where(choose_r, wix_m, wtx)
-        wiy_g = jnp.where(choose_r, wiy_m, wty)
-        wiz_g = jnp.where(choose_r, wiz_m, wtz)
-        pdf_g = jnp.where(choose_r, F, 1.0 - F)
-        fR_g = jnp.where(choose_r, shade[_SH_KR], er2 * ktr)
-        fG_g = jnp.where(choose_r, shade[_SH_KR + 1], er2 * ktg)
-        fB_g = jnp.where(choose_r, shade[_SH_KR + 2], er2 * ktb)
+        if any_glass:
+            # smooth-glass lanes: FresnelSpecular (reflection.go:465-536,
+            # ref bug #8 fixed exactly like the jnp chain, ops/bsdf.py):
+            # pick R with prob F, T with prob 1-F; the f*cos/pdf throughput
+            # collapses to kr (reflect) or eta_ratio^2 * kt (transmit,
+            # radiance transport), and etaScale tracks 1/eta_ratio^2 for
+            # Russian roulette (path.go:105).  Compiled out (static
+            # any_glass) for glass-free scenes — register pressure.
+            is_gls = shade[_SH_GLS] > 0.5
+            eta_g = jnp.maximum(shade[_SH_ETA], 1e-3)
+            entering = cos_o > 0.0
+            # dielectric Fresnel at |cos_o| (reflection.go:21-42)
+            ci = jnp.abs(jnp.clip(cos_o, -1.0, 1.0))
+            ei = jnp.where(entering, 1.0, eta_g)
+            et = jnp.where(entering, eta_g, 1.0)
+            sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+            sin_t = ei / et * sin_i
+            tir = sin_t >= 1.0
+            ct_f = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+            r_parl = (et * ci - ei * ct_f) / jnp.maximum(et * ci + ei * ct_f, 1e-20)
+            r_perp = (ei * ci - et * ct_f) / jnp.maximum(ei * ci + et * ct_f, 1e-20)
+            F = jnp.where(tir, 1.0, 0.5 * (r_parl * r_parl + r_perp * r_perp))
+            choose_r = u1(D_BSDF_LOBE) < F
+            # refraction about the oriented normal (reflection.go:106-118)
+            eta_ratio = jnp.where(entering, 1.0 / eta_g, eta_g)
+            sgn_e = jnp.where(entering, 1.0, -1.0)
+            sin2_tt = eta_ratio * eta_ratio * (1.0 - ci * ci)
+            ok_t = sin2_tt < 1.0
+            cos_tt = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_tt))
+            coef = (eta_ratio * ci - cos_tt) * sgn_e
+            wtx, wty, wtz = _normalize3(
+                coef * nx - eta_ratio * wox,
+                coef * ny - eta_ratio * woy,
+                coef * nz - eta_ratio * woz,
+                1e-20,
+            )
+            ktr, ktg, ktb = shade[_SH_KT], shade[_SH_KT + 1], shade[_SH_KT + 2]
+            kt_max = jnp.maximum(ktr, jnp.maximum(ktg, ktb))
+            er2 = eta_ratio * eta_ratio
+            ok_g = (
+                (choose_r & (F > 1e-9) & (kr_max > 0.0))
+                | (~choose_r & ((1.0 - F) > 1e-9) & ok_t & (kt_max > 0.0))
+            )
+            wix_g = jnp.where(choose_r, wix_m, wtx)
+            wiy_g = jnp.where(choose_r, wiy_m, wty)
+            wiz_g = jnp.where(choose_r, wiz_m, wtz)
+            pdf_g = jnp.where(choose_r, F, 1.0 - F)
+            fR_g = jnp.where(choose_r, shade[_SH_KR], er2 * ktr)
+            fG_g = jnp.where(choose_r, shade[_SH_KR + 1], er2 * ktg)
+            fB_g = jnp.where(choose_r, shade[_SH_KR + 2], er2 * ktb)
 
-        # NOTE: no jnp.where on bool vectors — Mosaic cannot select between
-        # i1 vectors (see pallas_intersect.py:66-70); use logical ops.
-        not_spec = ~is_mir & ~is_gls
-        ok = (is_mir & (kr_max > 0.0)) | (is_gls & ok_g) | (not_spec & ok)
-        wix_n = jnp.where(is_mir, wix_m, jnp.where(is_gls, wix_g, wix_n))
-        wiy_n = jnp.where(is_mir, wiy_m, jnp.where(is_gls, wiy_g, wiy_n))
-        wiz_n = jnp.where(is_mir, wiz_m, jnp.where(is_gls, wiz_g, wiz_n))
-        pdf_b = jnp.where(is_mir, 1.0, jnp.where(is_gls, pdf_g, pdf_b))
-        fR = jnp.where(is_mir, shade[_SH_KR], jnp.where(is_gls, fR_g, kdr * thr))
-        fG = jnp.where(is_mir, shade[_SH_KR + 1], jnp.where(is_gls, fG_g, kdg * thr))
-        fB = jnp.where(is_mir, shade[_SH_KR + 2], jnp.where(is_gls, fB_g, kdb * thr))
+            # NOTE: no jnp.where on bool vectors — Mosaic cannot select
+            # between i1 vectors (pallas_intersect.py:66-70); logical ops.
+            not_spec = ~is_mir & ~is_gls
+            ok = (is_mir & (kr_max > 0.0)) | (is_gls & ok_g) | (not_spec & ok)
+            wix_n = jnp.where(is_mir, wix_m, jnp.where(is_gls, wix_g, wix_n))
+            wiy_n = jnp.where(is_mir, wiy_m, jnp.where(is_gls, wiy_g, wiy_n))
+            wiz_n = jnp.where(is_mir, wiz_m, jnp.where(is_gls, wiz_g, wiz_n))
+            pdf_b = jnp.where(is_mir, 1.0, jnp.where(is_gls, pdf_g, pdf_b))
+            fR = jnp.where(is_mir, shade[_SH_KR], jnp.where(is_gls, fR_g, kdr * thr))
+            fG = jnp.where(is_mir, shade[_SH_KR + 1], jnp.where(is_gls, fG_g, kdg * thr))
+            fB = jnp.where(is_mir, shade[_SH_KR + 2], jnp.where(is_gls, fB_g, kdb * thr))
+            # radiance scaling across refraction boundaries (path.go:105)
+            es_new = jnp.where(
+                is_gls & ~choose_r & ok_t, es / jnp.maximum(er2, 1e-20), es
+            )
+            spec_next = is_mir | is_gls
+        else:
+            ok = (is_mir & (kr_max > 0.0)) | (~is_mir & ok)
+            wix_n = jnp.where(is_mir, wix_m, wix_n)
+            wiy_n = jnp.where(is_mir, wiy_m, wiy_n)
+            wiz_n = jnp.where(is_mir, wiz_m, wiz_n)
+            pdf_b = jnp.where(is_mir, 1.0, pdf_b)
+            fR = jnp.where(is_mir, shade[_SH_KR], kdr * thr)
+            fG = jnp.where(is_mir, shade[_SH_KR + 1], kdg * thr)
+            fB = jnp.where(is_mir, shade[_SH_KR + 2], kdb * thr)
+            es_new = es
+            spec_next = is_mir
         ok_f = jnp.where(ok, 1.0, 0.0)
         bR = bR * fR * ok_f
         bG = bG * fG * ok_f
         bB = bB * fB * ok_f
-        # radiance scaling across refraction boundaries (path.go:105-115)
-        es = jnp.where(is_gls & ~choose_r & ok_t, es / jnp.maximum(er2, 1e-20), es)
+        es = es_new
         alive = alive & ok & (jnp.maximum(bR, jnp.maximum(bG, bB)) > 0.0)
 
         sgn_n = jnp.where(
@@ -714,7 +734,7 @@ def _mega_kernel(
             ox, oy, oz, dx, dy, dz, bR, bG, bB, LR, LG, LB,
             jnp.where(alive, 1.0, 0.0).astype(f32),
             # specular continuation (mirror or smooth-glass delta lobe)
-            jnp.where(is_mir | is_gls, 1.0, 0.0).astype(f32),
+            jnp.where(spec_next, 1.0, 0.0).astype(f32),
             pdf_b,
             fw_hit if use_cone else cw,
             es,
@@ -733,6 +753,12 @@ def _mega_kernel(
         zeros + cone_w0,                        # ray-cone footprint width
         zeros + 1.0,                            # etaScale (path.go:105-115)
     )
+    # NOTE: a while_loop block-level early exit was tried here (exit once
+    # every lane in the block is dead) and MEASURED 20x SLOWER on v5e:
+    # Mosaic unrolls the static fori_loop and keeps the carried path state
+    # in vector registers, but a data-dependent while_loop forces the whole
+    # ~550 KB state through VMEM every iteration and blocks the unrolled
+    # scheduling.  Static trip count it is (BENCH_NOTES round 4).
     state = jax.lax.fori_loop(0, max_depth, bounce, state)
     lr_ref[:] = state[9]
     lg_ref[:] = state[10]
@@ -848,6 +874,7 @@ def _li_fused_fwd(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM
     )
     pinfo = prims.pinfo
+    fi = scene.fastinfo
     kernel = functools.partial(
         _mega_kernel,
         p_cnt, l_cnt, max_depth, rr_start, rr_threshold,
@@ -856,6 +883,8 @@ def _li_fused_fwd(
         pinfo.all_full_disks if pinfo is not None else False,
         True,  # any_checker: cheap; keep general
         use_cone,
+        # glass lobe compiled only when a glass material exists (static)
+        getattr(fi, "has_glass", True) if fi is not None else True,
     )
     ltype, lpos, lint, laux = _light_tables(scene)
     lcdf = scene.light_cdf

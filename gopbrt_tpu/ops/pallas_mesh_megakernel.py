@@ -78,6 +78,7 @@ RROWS = 8       # rows per grid step (f32 sublane tiling)
 BLOCK = RROWS * RB
 M = 128         # triangles per cluster
 SUB = 8         # triangles tested per VPU op
+SC = 8          # clusters per SUPERCLUSTER (coarse pre-cull level)
 _BIG = 1e30
 
 # triangle record columns (f32[K*M, _RC_K]): 9 verts | material | area light
@@ -120,10 +121,11 @@ class MeshTables:
     EXTRA_BASE+e) back to original primitive ids for debugging/tests.
     """
 
-    def __init__(self, tri, cbounds, ex_type, ex_w2o, ex_par, ex_aux,
-                 mshade, order, n_clusters, n_extras, n_mats):
+    def __init__(self, tri, cbounds, scbounds, ex_type, ex_w2o, ex_par,
+                 ex_aux, mshade, order, n_clusters, n_extras, n_mats):
         self.tri = tri            # f32[K*M, _RC_K]
-        self.cbounds = cbounds    # f32[K, 8]
+        self.cbounds = cbounds    # f32[K_pad, 8] (padded to SC multiple)
+        self.scbounds = scbounds  # f32[K_pad/SC, 8] supercluster AABBs
         self.ex_type = ex_type    # i32[E]
         self.ex_w2o = ex_w2o      # f32[E, 12]
         self.ex_par = ex_par      # f32[E, 9]
@@ -136,8 +138,8 @@ class MeshTables:
 
     def tree_flatten(self):
         return (
-            (self.tri, self.cbounds, self.ex_type, self.ex_w2o, self.ex_par,
-             self.ex_aux, self.mshade, self.order),
+            (self.tri, self.cbounds, self.scbounds, self.ex_type,
+             self.ex_w2o, self.ex_par, self.ex_aux, self.mshade, self.order),
             (self.n_clusters, self.n_extras, self.n_mats),
         )
 
@@ -236,7 +238,8 @@ def build_mesh_tables(scene, prims: Primitives, lo: np.ndarray,
     rec[:nt, _RC_MAT] = mat[tri_ids].astype(np.float32)
     rec[:nt, _RC_ALID] = alid[tri_ids].astype(np.float32)
     rec[nt:, _RC_ALID] = -1.0
-    cb = np.zeros((k, 8), np.float32)
+    k_pad = -(-k // SC) * SC
+    cb = np.zeros((k_pad, 8), np.float32)
     cb[:, 0:3] = 3e37
     cb[:, 3:6] = -3e37
     lo_t, hi_t = np.asarray(lo)[tri_ids], np.asarray(hi)[tri_ids]
@@ -245,6 +248,11 @@ def build_mesh_tables(scene, prims: Primitives, lo: np.ndarray,
         if a < nt:
             cb[c, 0:3] = lo_t[a:b].min(axis=0)
             cb[c, 3:6] = hi_t[a:b].max(axis=0)
+    # supercluster level: union of SC consecutive cluster AABBs (pad rows
+    # carry inverted boxes, so their union is just the real members')
+    scb = np.zeros((k_pad // SC, 8), np.float32)
+    scb[:, 0:3] = cb[:, 0:3].reshape(-1, SC, 3).min(axis=1)
+    scb[:, 3:6] = cb[:, 3:6].reshape(-1, SC, 3).max(axis=1)
     # extras: uniform-scale sigma^2 from w2o rows (norm 1/sigma)
     ex_w2o = w2o[ex_ids] if ne else np.zeros((1, 12), np.float32)
     ex_par = params[ex_ids] if ne else np.zeros((1, 9), np.float32)
@@ -263,6 +271,7 @@ def build_mesh_tables(scene, prims: Primitives, lo: np.ndarray,
     return MeshTables(
         tri=jnp.asarray(rec),
         cbounds=jnp.asarray(cb),
+        scbounds=jnp.asarray(scb),
         ex_type=jnp.asarray(ex_type),
         ex_w2o=jnp.asarray(ex_w2o),
         ex_par=jnp.asarray(ex_par),
@@ -320,7 +329,7 @@ def _mesh_kernel(
     n_clusters, n_extras, n_mats, n_lights, max_depth, rr_start,
     rr_threshold, ex_types, use_cone,
     # SMEM
-    seed_ref, cb_ref, ext_ref, exw_ref, exp_ref, exa_ref, msh_ref,
+    seed_ref, cb_ref, scb_ref, ext_ref, exw_ref, exp_ref, exa_ref, msh_ref,
     ltype_ref, lpos_ref, lint_ref, laux_ref, lcdf_ref, scal_ref,
     # VMEM in
     tri_ref,
@@ -383,9 +392,10 @@ def _mesh_kernel(
                 t_sc[:] = jnp.broadcast_to(tmax, (SUB, RB))
             idx_sc[:] = jnp.full((SUB, RB), -1, jnp.int32)
 
-            def cluster_body(c, _):
-                lox, loy, loz = cb_ref[c, 0], cb_ref[c, 1], cb_ref[c, 2]
-                hix, hiy, hiz = cb_ref[c, 3], cb_ref[c, 4], cb_ref[c, 5]
+            def slab(b_ref, i):
+                """Block slab test of AABB row i against this ray row."""
+                lox, loy, loz = b_ref[i, 0], b_ref[i, 1], b_ref[i, 2]
+                hix, hiy, hiz = b_ref[i, 3], b_ref[i, 4], b_ref[i, 5]
                 t_cur = jnp.min(t_sc[:], axis=0, keepdims=True)
                 tx0 = (lox - ox) * idx
                 tx1 = (hix - ox) * idx
@@ -401,7 +411,10 @@ def _mesh_kernel(
                     jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                     jnp.minimum(jnp.maximum(tz0, tz1), t_cur),
                 ) * 1.0001
-                hit_box = tn <= tf
+                return tn <= tf
+
+            def cluster_body(c, _):
+                hit_box = slab(cb_ref, c)
 
                 @pl.when(jnp.any(hit_box))
                 def _():
@@ -427,6 +440,15 @@ def _mesh_kernel(
 
                 return 0
 
+            # NOTE: an 8-cluster SUPERCLUSTER pre-cull level was tried here
+            # (pl.when(any(slab(scb,sc))) gating a fori_loop of the member
+            # clusters) and MISCOMPILES under Mosaic: the doubly-nested
+            # predication around the scratch-mutating member loop produced
+            # wrong images compiled (all-black with a fori bounce loop,
+            # ~4% of lanes wrong with a while bounce loop) while interpret
+            # mode stayed exact — and it measured ~neutral anyway
+            # (incoherent rows touch most superclusters).  Flat cluster
+            # loop, verified 1.0000 compiled-vs-oracle agreement.
             jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
 
             if any_hit:
@@ -1105,6 +1127,10 @@ def _mesh_kernel(
         zeros + cone_w0,
         zeros + 1.0,
     )
+    # static trip count, like the brute megakernel: the while_loop early
+    # exit measured +5% here but was only ever benchmarked together with
+    # the miscompiling supercluster cull (see the traversal NOTE above) —
+    # kept on the verified fori_loop until re-measured in isolation
     state = jax.lax.fori_loop(0, max_depth, bounce, state)
     lr_ref[:] = state[9]
     lg_ref[:] = state[10]
@@ -1177,7 +1203,8 @@ def _mesh_li_fwd(
         grid=grid,
         in_specs=[
             smem((1,)),                      # seed
-            smem((mt.n_clusters, 8)),        # cluster bounds
+            smem(tuple(mt.cbounds.shape)),   # cluster bounds (padded)
+            smem(tuple(mt.scbounds.shape)),  # supercluster bounds
             smem((e_cnt,)),                  # extras type
             smem((e_cnt, 12)),               # extras w2o
             smem((e_cnt, 9)),                # extras params
@@ -1215,6 +1242,7 @@ def _mesh_li_fwd(
     )(
         jnp.asarray(seed, jnp.uint32).reshape(1),
         mt.cbounds,
+        mt.scbounds,
         mt.ex_type,
         mt.ex_w2o,
         mt.ex_par,

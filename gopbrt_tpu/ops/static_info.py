@@ -83,6 +83,9 @@ class FastPathInfo:
 
     ok: bool = False
     mesh_ok: bool = False
+    # any smooth-glass material present: the megakernels compile the
+    # FresnelSpecular lobe only when needed (register pressure)
+    has_glass: bool = False
 
 
 ALL_PRIMS: Optional[PrimInfo] = None  # None = assume everything (tests)
