@@ -76,7 +76,9 @@ from gopbrt_tpu.ops.rng import (
 RB = 1024       # ray lanes per traversal row
 RROWS = 8       # rows per grid step (f32 sublane tiling)
 BLOCK = RROWS * RB
-M = 128         # triangles per cluster
+M = 128         # triangles per cluster (M=64 measured equal-or-slightly-
+                # slower with the batched slab phase: member volume is not
+                # the current bottleneck — BENCH_NOTES round 4)
 SUB = 8         # triangles tested per VPU op
 SC = 8          # clusters per SUPERCLUSTER (coarse pre-cull level)
 _BIG = 1e30
@@ -340,7 +342,8 @@ def _mesh_kernel(
     # scratch
     r_o0, r_o1, r_o2, r_d0, r_d1, r_d2, r_tm,   # ray rows for traversal
     o_t, o_slot,                                 # traversal results
-    t_sc, idx_sc,                                # per-row working state
+    t8, i8,                                      # per-row bests [RROWS*SUB, RB]
+    tc8,                                         # per-lane current min [RROWS, RB]
     acc_sc,                                      # [_RC_USED*SUB, RB] resolve
     attr_sc,                                     # [_RC_USED*RROWS, RB]
 ):
@@ -370,93 +373,107 @@ def _mesh_kernel(
     def trace_rows(any_hit):
         """Cluster traversal of the rays in r_* scratches; winners into
         o_t/o_slot.  any_hit: first accepted hit poisons the lane (see
-        pallas_cluster._trace_row)."""
+        pallas_cluster._trace_row).
 
-        def row_body(r, _):
-            ox = r_o0[pl.ds(r, 1), :]
-            oy = r_o1[pl.ds(r, 1), :]
-            oz = r_o2[pl.ds(r, 1), :]
-            dx = r_d0[pl.ds(r, 1), :]
-            dy = r_d1[pl.ds(r, 1), :]
-            dz = r_d2[pl.ds(r, 1), :]
-            tmax = r_tm[pl.ds(r, 1), :]
-            inv = lambda v: 1.0 / jnp.where(
-                jnp.abs(v) < 1e-20, jnp.where(v < 0, -1e-20, 1e-20), v
+        Layout (round-4 restructure): the slab phase runs BATCHED over all
+        RROWS rows as [RROWS, RB] ops — the per-row [1, RB] formulation
+        left 7/8 of the VPU idle and serialized RROWS x K tiny loop
+        iterations, which the depth sweep showed dominating the bounce
+        cost.  Member tests stay per-row ([SUB,1] prim columns vs [1,RB]
+        rays), gated per row by its slab mask; each row's running best-t
+        lives in its [SUB, RB] slice of t8/i8, with a separate per-lane
+        current-min (tc8) feeding the batched slab culling.
+
+        NOTE: an 8-cluster SUPERCLUSTER pre-cull was also tried
+        (pl.when(any(slab)) around a fori of pl.when member loops) and
+        MISCOMPILES under Mosaic — doubly-nested predication around
+        scratch mutation silently produced wrong compiled images while
+        interpret mode stayed exact.  Single-level pl.when only.
+        """
+        OX, OY, OZ = r_o0[:], r_o1[:], r_o2[:]
+        DX, DY, DZ = r_d0[:], r_d1[:], r_d2[:]
+        TM = r_tm[:]
+        inv = lambda v: 1.0 / jnp.where(
+            jnp.abs(v) < 1e-20, jnp.where(v < 0, -1e-20, 1e-20), v
+        )
+        IDX, IDY, IDZ = inv(DX), inv(DY), inv(DZ)
+        if any_hit:
+            tc0 = jnp.where(TM <= 2e-4, -1.0, TM)
+        else:
+            tc0 = TM
+        tc8[:] = tc0
+        for r in range(RROWS):
+            t8[r * SUB : (r + 1) * SUB, :] = jnp.broadcast_to(
+                tc0[r : r + 1, :], (SUB, RB)
             )
-            idx, idy, idz = inv(dx), inv(dy), inv(dz)
-            if any_hit:
-                t_sc[:] = jnp.broadcast_to(
-                    jnp.where(tmax <= 2e-4, -1.0, tmax), (SUB, RB)
-                )
-            else:
-                t_sc[:] = jnp.broadcast_to(tmax, (SUB, RB))
-            idx_sc[:] = jnp.full((SUB, RB), -1, jnp.int32)
+        i8[:] = jnp.full((RROWS * SUB, RB), -1, jnp.int32)
 
-            def slab(b_ref, i):
-                """Block slab test of AABB row i against this ray row."""
-                lox, loy, loz = b_ref[i, 0], b_ref[i, 1], b_ref[i, 2]
-                hix, hiy, hiz = b_ref[i, 3], b_ref[i, 4], b_ref[i, 5]
-                t_cur = jnp.min(t_sc[:], axis=0, keepdims=True)
-                tx0 = (lox - ox) * idx
-                tx1 = (hix - ox) * idx
-                ty0 = (loy - oy) * idy
-                ty1 = (hiy - oy) * idy
-                tz0 = (loz - oz) * idz
-                tz1 = (hiz - oz) * idz
-                tn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
-                )
-                tf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.minimum(jnp.maximum(tz0, tz1), t_cur),
-                ) * 1.0001
-                return tn <= tf
+        def cluster_body(c, _):
+            # batched slab: cluster AABB vs ALL rows at once
+            lox, loy, loz = cb_ref[c, 0], cb_ref[c, 1], cb_ref[c, 2]
+            hix, hiy, hiz = cb_ref[c, 3], cb_ref[c, 4], cb_ref[c, 5]
+            tx0 = (lox - OX) * IDX
+            tx1 = (hix - OX) * IDX
+            ty0 = (loy - OY) * IDY
+            ty1 = (hiy - OY) * IDY
+            tz0 = (loz - OZ) * IDZ
+            tz1 = (hiz - OZ) * IDZ
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), tc8[:]),
+            ) * 1.0001
+            hit8 = tn <= tf
 
-            def cluster_body(c, _):
-                hit_box = slab(cb_ref, c)
-
-                @pl.when(jnp.any(hit_box))
-                def _():
+            for r in range(RROWS):
+                @pl.when(jnp.any(hit8[r : r + 1, :]))
+                def _(r=r):
+                    rs = slice(r * SUB, (r + 1) * SUB)
+                    ox = r_o0[r : r + 1, :]
+                    oy = r_o1[r : r + 1, :]
+                    oz = r_o2[r : r + 1, :]
+                    dx = r_d0[r : r + 1, :]
+                    dy = r_d1[r : r + 1, :]
+                    dz = r_d2[r : r + 1, :]
                     ctile = tri_ref[pl.ds(c * M, M), :]
                     for j in range(M // SUB):
                         tile = ctile[j * SUB : (j + 1) * SUB, :]
                         pr = [tile[:, k : k + 1] for k in range(9)]
-                        t_best = t_sc[:]
+                        t_best = t8[rs, :]
                         tp = _prim_test(
                             None, None, pr, ox, oy, oz, dx, dy, dz, t_best,
                             types=(TRIANGLE,),
                         )
                         better = tp < t_best
-                        t_sc[:] = jnp.where(better, tp, t_best)
-                        idx_sc[:] = jnp.where(
-                            better, c * M + j * SUB + sub_off, idx_sc[:]
+                        t8[rs, :] = jnp.where(better, tp, t_best)
+                        i8[rs, :] = jnp.where(
+                            better, c * M + j * SUB + sub_off, i8[rs, :]
                         )
+                    row_min = jnp.min(t8[rs, :], axis=0, keepdims=True)
                     if any_hit:
-                        occ_row = jnp.max(idx_sc[:], axis=0, keepdims=True) >= 0
-                        t_sc[:] = jnp.where(
-                            jnp.broadcast_to(occ_row, (SUB, RB)), -1.0, t_sc[:]
+                        occ_row = jnp.max(i8[rs, :], axis=0, keepdims=True) >= 0
+                        t8[rs, :] = jnp.where(
+                            jnp.broadcast_to(occ_row, (SUB, RB)), -1.0,
+                            t8[rs, :],
                         )
+                        row_min = jnp.where(occ_row, -1.0, row_min)
+                    tc8[r : r + 1, :] = row_min
 
-                return 0
+            return 0
 
-            # NOTE: an 8-cluster SUPERCLUSTER pre-cull level was tried here
-            # (pl.when(any(slab(scb,sc))) gating a fori_loop of the member
-            # clusters) and MISCOMPILES under Mosaic: the doubly-nested
-            # predication around the scratch-mutating member loop produced
-            # wrong images compiled (all-black with a fori bounce loop,
-            # ~4% of lanes wrong with a while bounce loop) while interpret
-            # mode stayed exact — and it measured ~neutral anyway
-            # (incoherent rows touch most superclusters).  Flat cluster
-            # loop, verified 1.0000 compiled-vs-oracle agreement.
-            jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
+        jax.lax.fori_loop(0, n_clusters, cluster_body, 0)
 
+        for r in range(RROWS):
+            rs = slice(r * SUB, (r + 1) * SUB)
             if any_hit:
-                o_t[pl.ds(r, 1), :] = tmax
-                o_slot[pl.ds(r, 1), :] = jnp.max(idx_sc[:], axis=0, keepdims=True)
+                o_t[r : r + 1, :] = TM[r : r + 1, :]
+                o_slot[r : r + 1, :] = jnp.max(i8[rs, :], axis=0, keepdims=True)
             else:
-                t_all = t_sc[:]
-                i_all = idx_sc[:]
+                t_all = t8[rs, :]
+                i_all = i8[rs, :]
                 t_best = t_all[0:1]
                 i_best = i_all[0:1]
                 for srow in range(1, SUB):
@@ -465,11 +482,8 @@ def _mesh_kernel(
                     better = cand_t < t_best
                     t_best = jnp.where(better, cand_t, t_best)
                     i_best = jnp.where(better, cand_i, i_best)
-                o_t[pl.ds(r, 1), :] = t_best
-                o_slot[pl.ds(r, 1), :] = i_best
-            return 0
-
-        jax.lax.fori_loop(0, RROWS, row_body, 0)
+                o_t[r : r + 1, :] = t_best
+                o_slot[r : r + 1, :] = i_best
 
     def extras_pass(ox, oy, oz, dx, dy, dz, t_in, idx_in, any_hit, tmax=None):
         """Test the non-triangle extras over the full [RROWS, RB] block
@@ -1233,8 +1247,9 @@ def _mesh_li_fwd(
             pltpu.VMEM((RROWS, RB), jnp.float32),  # r_tm
             pltpu.VMEM((RROWS, RB), jnp.float32),  # o_t
             pltpu.VMEM((RROWS, RB), jnp.int32),    # o_slot
-            pltpu.VMEM((SUB, RB), jnp.float32),    # t_sc
-            pltpu.VMEM((SUB, RB), jnp.int32),      # idx_sc
+            pltpu.VMEM((RROWS * SUB, RB), jnp.float32),  # t8
+            pltpu.VMEM((RROWS * SUB, RB), jnp.int32),    # i8
+            pltpu.VMEM((RROWS, RB), jnp.float32),  # tc8
             pltpu.VMEM((_RC_USED * SUB, RB), jnp.float32),    # acc_sc
             pltpu.VMEM((_RC_USED * RROWS, RB), jnp.float32),  # attr_sc
         ],
