@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -82,6 +83,12 @@ M = 128         # triangles per cluster (M=64 measured equal-or-slightly-
 SUB = 8         # triangles tested per VPU op
 SC = 8          # clusters per SUPERCLUSTER (coarse pre-cull level)
 _BIG = 1e30
+
+# profiling-only ablations (benchmarks/profile_mesh.py): comma-separated
+# stage names to skip, read once at import.  Never set in production.
+_ABLATE = frozenset(
+    filter(None, os.environ.get("GOPBRT_MESH_ABLATE", "").split(","))
+)
 
 # triangle record columns (f32[K*M, _RC_K]): 9 verts | material | area light
 _RC_V = 0
@@ -428,7 +435,7 @@ def _mesh_kernel(
             ) * 1.0001
             hit8 = tn <= tf
 
-            for r in range(RROWS):
+            for r in range(RROWS) if "member" not in _ABLATE else ():
                 @pl.when(jnp.any(hit8[r : r + 1, :]))
                 def _(r=r):
                     rs = slice(r * SUB, (r + 1) * SUB)
@@ -579,6 +586,8 @@ def _mesh_kernel(
         t_lim = jnp.where(alive, jnp.full(ox.shape, _BIG, f32), 1e-4)
         store_rays(ox, oy, oz, dx, dy, dz, t_lim)
         trace_rows(False)
+        if "closest2" in _ABLATE:  # profiling: stage is idempotent, 2x it
+            trace_rows(False)
         t = o_t[:]
         idx = o_slot[:]
         if n_extras:
@@ -587,7 +596,15 @@ def _mesh_kernel(
         is_ext = idx >= EXTRA_BASE
         is_tri = (idx >= 0) & ~is_ext
         # clamp extras winners out of the tri-resolve (they'd never match)
-        resolve_tris()
+        if "resolve" in _ABLATE:  # profiling: plausible fixed attrs
+            attr_sc[:] = jnp.zeros((_RC_USED * RROWS, RB), f32)
+            attr_sc[5 * RROWS : 6 * RROWS, :] = jnp.ones((RROWS, RB), f32)
+            attr_sc[7 * RROWS : 8 * RROWS, :] = jnp.ones((RROWS, RB), f32)
+            attr_sc[10 * RROWS : 11 * RROWS, :] = -jnp.ones((RROWS, RB), f32)
+        else:
+            resolve_tris()
+            if "resolve2" in _ABLATE:  # profiling: idempotent, 2x it
+                resolve_tris()
 
         def attr(a):
             return attr_sc[a * RROWS : (a + 1) * RROWS, :]
@@ -811,7 +828,7 @@ def _mesh_kernel(
             return spec, mf_pdf
 
         # ---- NEE: one-light estimate (integrator.go:48-77, 79-195) --------
-        if n_lights > 0:
+        if n_lights > 0 and "nee" not in _ABLATE:
             u_pick = u1(D_LIGHT_PICK)
             cnt = jnp.zeros(u_pick.shape, jnp.int32)
             for i in range(n_lights + 1):
@@ -938,15 +955,18 @@ def _mesh_kernel(
             shz = pz + sgn * d_off * nz
             t_sh = jnp.maximum(dist * (1.0 - SHADOW_EPSILON) - 1e-3, 1e-4)
             t_sh = jnp.where(contributes, t_sh, 1e-6)
-            store_rays(shx, shy, shz, wix, wiy, wiz, t_sh)
-            trace_rows(True)
-            occ = o_slot[:] >= 0
-            if n_extras:
-                occ = extras_pass(
-                    shx, shy, shz, wix, wiy, wiz, o_t[:],
-                    jnp.where(occ, 0, -1), True, tmax=t_sh,
-                )
-            vis = contributes & ~occ
+            if "shadow" in _ABLATE:  # profiling: skip occlusion traversal
+                vis = contributes
+            else:
+                store_rays(shx, shy, shz, wix, wiy, wiz, t_sh)
+                trace_rows(True)
+                occ = o_slot[:] >= 0
+                if n_extras:
+                    occ = extras_pass(
+                        shx, shy, shz, wix, wiy, wiz, o_t[:],
+                        jnp.where(occ, 0, -1), True, tmax=t_sh,
+                    )
+                vis = contributes & ~occ
 
             weight = jnp.where(
                 is_delta, 1.0, _power_heuristic(ls_pdf, b_pdf)
