@@ -81,7 +81,6 @@ M = 128         # triangles per cluster (M=64 measured equal-or-slightly-
                 # slower with the batched slab phase: member volume is not
                 # the current bottleneck — BENCH_NOTES round 4)
 SUB = 8         # triangles tested per VPU op
-SC = 8          # clusters per SUPERCLUSTER (coarse pre-cull level)
 _BIG = 1e30
 
 # profiling-only ablations (benchmarks/profile_mesh.py): comma-separated
@@ -90,11 +89,18 @@ _ABLATE = frozenset(
     filter(None, os.environ.get("GOPBRT_MESH_ABLATE", "").split(","))
 )
 
-# triangle record columns (f32[K*M, _RC_K]): 9 verts | material | area light
+# triangle record columns (f32[K*M, _RC_K]): v0 | e1=v1-v0 | e2=v2-v0 |
+# material | area light.  Edges are precomputed on the host in f32 (bit-
+# identical to the kernel subtraction they replace), which both drops 6
+# subtractions from every member test and shrinks the winner-resolve
+# sweep to the _RC_RES columns starting at _RC_E1: nothing downstream
+# needs v0 (p = o + t*d, n = e1 x e2, dpdu = e1).
 _RC_V = 0
+_RC_E1 = 3
 _RC_MAT = 9
 _RC_ALID = 10
 _RC_USED = 11
+_RC_RES = _RC_USED - _RC_E1  # resolved attrs: e1, e2, mat, alid
 _RC_K = 16
 
 # per-material shade columns (SMEM f32[NM, _MS_K])
@@ -130,11 +136,10 @@ class MeshTables:
     EXTRA_BASE+e) back to original primitive ids for debugging/tests.
     """
 
-    def __init__(self, tri, cbounds, scbounds, ex_type, ex_w2o, ex_par,
+    def __init__(self, tri, cbounds, ex_type, ex_w2o, ex_par,
                  ex_aux, mshade, order, n_clusters, n_extras, n_mats):
         self.tri = tri            # f32[K*M, _RC_K]
-        self.cbounds = cbounds    # f32[K_pad, 8] (padded to SC multiple)
-        self.scbounds = scbounds  # f32[K_pad/SC, 8] supercluster AABBs
+        self.cbounds = cbounds    # f32[K, 8]
         self.ex_type = ex_type    # i32[E]
         self.ex_w2o = ex_w2o      # f32[E, 12]
         self.ex_par = ex_par      # f32[E, 9]
@@ -147,7 +152,7 @@ class MeshTables:
 
     def tree_flatten(self):
         return (
-            (self.tri, self.cbounds, self.scbounds, self.ex_type,
+            (self.tri, self.cbounds, self.ex_type,
              self.ex_w2o, self.ex_par, self.ex_aux, self.mshade, self.order),
             (self.n_clusters, self.n_extras, self.n_mats),
         )
@@ -241,14 +246,16 @@ def build_mesh_tables(scene, prims: Primitives, lo: np.ndarray,
     k = max(1, -(-nt // M))
     total = k * M
     rec = np.zeros((total, _RC_K), np.float32)
-    # pad rows: a degenerate far-away triangle (never hits)
-    rec[:, _RC_V:_RC_V + 9] = 1e30
-    rec[:nt, _RC_V:_RC_V + 9] = params[tri_ids]
+    # pad rows: far-away degenerate triangle (e1 = e2 = 0 -> det 0, miss)
+    rec[:, _RC_V:_RC_V + 3] = 1e30
+    p9 = params[tri_ids].astype(np.float32)
+    rec[:nt, _RC_V:_RC_V + 3] = p9[:, 0:3]
+    rec[:nt, _RC_E1:_RC_E1 + 3] = p9[:, 3:6] - p9[:, 0:3]
+    rec[:nt, _RC_E1 + 3:_RC_E1 + 6] = p9[:, 6:9] - p9[:, 0:3]
     rec[:nt, _RC_MAT] = mat[tri_ids].astype(np.float32)
     rec[:nt, _RC_ALID] = alid[tri_ids].astype(np.float32)
     rec[nt:, _RC_ALID] = -1.0
-    k_pad = -(-k // SC) * SC
-    cb = np.zeros((k_pad, 8), np.float32)
+    cb = np.zeros((k, 8), np.float32)
     cb[:, 0:3] = 3e37
     cb[:, 3:6] = -3e37
     lo_t, hi_t = np.asarray(lo)[tri_ids], np.asarray(hi)[tri_ids]
@@ -257,11 +264,6 @@ def build_mesh_tables(scene, prims: Primitives, lo: np.ndarray,
         if a < nt:
             cb[c, 0:3] = lo_t[a:b].min(axis=0)
             cb[c, 3:6] = hi_t[a:b].max(axis=0)
-    # supercluster level: union of SC consecutive cluster AABBs (pad rows
-    # carry inverted boxes, so their union is just the real members')
-    scb = np.zeros((k_pad // SC, 8), np.float32)
-    scb[:, 0:3] = cb[:, 0:3].reshape(-1, SC, 3).min(axis=1)
-    scb[:, 3:6] = cb[:, 3:6].reshape(-1, SC, 3).max(axis=1)
     # extras: uniform-scale sigma^2 from w2o rows (norm 1/sigma)
     ex_w2o = w2o[ex_ids] if ne else np.zeros((1, 12), np.float32)
     ex_par = params[ex_ids] if ne else np.zeros((1, 9), np.float32)
@@ -280,7 +282,6 @@ def build_mesh_tables(scene, prims: Primitives, lo: np.ndarray,
     return MeshTables(
         tri=jnp.asarray(rec),
         cbounds=jnp.asarray(cb),
-        scbounds=jnp.asarray(scb),
         ex_type=jnp.asarray(ex_type),
         ex_w2o=jnp.asarray(ex_w2o),
         ex_par=jnp.asarray(ex_par),
@@ -333,12 +334,42 @@ def _ggx_lambda(c_w, alpha):
     return (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0
 
 
+def _tri_test_e(pr, ox, oy, oz, dx, dy, dz, t_limit):
+    """Möller–Trumbore on a (v0, e1, e2) record -> candidate t (_BIG miss).
+
+    Bit-identical to pallas_intersect._prim_test's TRIANGLE branch
+    (triangle.go:79-130 semantics): the host precomputes e1/e2 with the
+    same f32 subtraction the shared test performs per-query."""
+    pvx = dy * pr[8] - dz * pr[7]
+    pvy = dz * pr[6] - dx * pr[8]
+    pvz = dx * pr[7] - dy * pr[6]
+    det = pr[3] * pvx + pr[4] * pvy + pr[5] * pvz
+    degen = jnp.abs(det) < 1e-12
+    inv_det = 1.0 / jnp.where(degen, 1.0, det)
+    tvx, tvy, tvz = ox - pr[0], oy - pr[1], oz - pr[2]
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * pr[5] - tvz * pr[4]
+    qvy = tvz * pr[3] - tvx * pr[5]
+    qvz = tvx * pr[4] - tvy * pr[3]
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    tt = (pr[6] * qvx + pr[7] * qvy + pr[8] * qvz) * inv_det
+    vt = (
+        (~degen)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (tt > 1e-4)
+        & (tt < t_limit)
+    )
+    return jnp.where(vt, tt, _BIG)
+
+
 def _mesh_kernel(
     # static
     n_clusters, n_extras, n_mats, n_lights, max_depth, rr_start,
     rr_threshold, ex_types, use_cone,
     # SMEM
-    seed_ref, cb_ref, scb_ref, ext_ref, exw_ref, exp_ref, exa_ref, msh_ref,
+    seed_ref, cb_ref, ext_ref, exw_ref, exp_ref, exa_ref, msh_ref,
     ltype_ref, lpos_ref, lint_ref, laux_ref, lcdf_ref, scal_ref,
     # VMEM in
     tri_ref,
@@ -351,8 +382,9 @@ def _mesh_kernel(
     o_t, o_slot,                                 # traversal results
     t8, i8,                                      # per-row bests [RROWS*SUB, RB]
     tc8,                                         # per-lane current min [RROWS, RB]
-    acc_sc,                                      # [_RC_USED*SUB, RB] resolve
-    attr_sc,                                     # [_RC_USED*RROWS, RB]
+    acc_sc,                                      # [_RC_RES*SUB, RB] resolve
+    attr_sc,                                     # [_RC_RES*RROWS, RB]
+    keys_sc, ord_sc, bins_sc,                    # cluster-order scratch (SMEM)
 ):
     f32 = jnp.float32
     seed = seed_ref[0]
@@ -404,6 +436,58 @@ def _mesh_kernel(
             jnp.abs(v) < 1e-20, jnp.where(v < 0, -1e-20, 1e-20), v
         )
         IDX, IDY, IDZ = inv(DX), inv(DY), inv(DZ)
+
+        # ---- near-to-far cluster order (round-5): visiting clusters by
+        # distance from the block's mean ray origin makes the running
+        # per-lane best (tc8) cap the slab far plane early, so far
+        # clusters fail the slab and their member loops are pl.when-
+        # skipped.  A coarse 16-bin counting sort over squared centroid
+        # distance costs ~3 vector reductions + ~4 scalar sweeps of K —
+        # noise next to one member loop.  Pure scalar SMEM loops, no
+        # nested predication (the round-4 supercluster lesson).
+        nrm = 1.0 / (RROWS * RB)
+        mx = jnp.sum(OX) * nrm
+        my = jnp.sum(OY) * nrm
+        mz = jnp.sum(OZ) * nrm
+        NB = 16
+
+        def key_body(c, mm):
+            cx = 0.5 * (cb_ref[c, 0] + cb_ref[c, 3]) - mx
+            cy = 0.5 * (cb_ref[c, 1] + cb_ref[c, 4]) - my
+            cz = 0.5 * (cb_ref[c, 2] + cb_ref[c, 5]) - mz
+            kk = cx * cx + cy * cy + cz * cz
+            keys_sc[c] = kk
+            return (jnp.minimum(mm[0], kk), jnp.maximum(mm[1], kk))
+
+        kmin, kmax = jax.lax.fori_loop(
+            0, n_clusters, key_body,
+            (jnp.float32(3e38), jnp.float32(-3e38)),
+        )
+        for b in range(NB + 1):
+            bins_sc[b] = 0
+        binf = NB / jnp.maximum(kmax - kmin, 1e-30)
+
+        def cnt_body(c, _):
+            b = jnp.clip(
+                ((keys_sc[c] - kmin) * binf).astype(jnp.int32), 0, NB - 1
+            )
+            bins_sc[b + 1] = bins_sc[b + 1] + 1
+            return 0
+
+        jax.lax.fori_loop(0, n_clusters, cnt_body, 0)
+        for b in range(1, NB + 1):
+            bins_sc[b] = bins_sc[b] + bins_sc[b - 1]
+
+        def place_body(c, _):
+            b = jnp.clip(
+                ((keys_sc[c] - kmin) * binf).astype(jnp.int32), 0, NB - 1
+            )
+            p = bins_sc[b]
+            ord_sc[p] = c
+            bins_sc[b] = p + 1
+            return 0
+
+        jax.lax.fori_loop(0, n_clusters, place_body, 0)
         if any_hit:
             tc0 = jnp.where(TM <= 2e-4, -1.0, TM)
         else:
@@ -415,7 +499,8 @@ def _mesh_kernel(
             )
         i8[:] = jnp.full((RROWS * SUB, RB), -1, jnp.int32)
 
-        def cluster_body(c, _):
+        def cluster_body(ci, _):
+            c = ord_sc[ci]
             # batched slab: cluster AABB vs ALL rows at once
             lox, loy, loz = cb_ref[c, 0], cb_ref[c, 1], cb_ref[c, 2]
             hix, hiy, hiz = cb_ref[c, 3], cb_ref[c, 4], cb_ref[c, 5]
@@ -450,9 +535,8 @@ def _mesh_kernel(
                         tile = ctile[j * SUB : (j + 1) * SUB, :]
                         pr = [tile[:, k : k + 1] for k in range(9)]
                         t_best = t8[rs, :]
-                        tp = _prim_test(
-                            None, None, pr, ox, oy, oz, dx, dy, dz, t_best,
-                            types=(TRIANGLE,),
+                        tp = _tri_test_e(
+                            pr, ox, oy, oz, dx, dy, dz, t_best
                         )
                         better = tp < t_best
                         t8[rs, :] = jnp.where(better, tp, t_best)
@@ -515,12 +599,14 @@ def _mesh_kernel(
         return t_best, idx_best
 
     def resolve_tris():
-        """Winner-attribute sweep: for each row, accumulate the _RC_USED
-        record columns of the winning slot over pl.when-gated clusters."""
+        """Winner-attribute sweep: for each row, accumulate the _RC_RES
+        record columns (e1 | e2 | mat | alid) of the winning slot over
+        pl.when-gated clusters.  v0 is never resolved: hit geometry needs
+        only p = o + t*d, n = e1 x e2, dpdu = e1."""
 
         def row_body(r, _):
             slot = o_slot[pl.ds(r, 1), :]
-            acc_sc[:] = jnp.zeros((_RC_USED * SUB, RB), f32)
+            acc_sc[:] = jnp.zeros((_RC_RES * SUB, RB), f32)
 
             def c_body(c, _):
                 in_c = (slot >= c * M) & (slot < (c + 1) * M)
@@ -532,16 +618,16 @@ def _mesh_kernel(
                         tile = ctile[j * SUB : (j + 1) * SUB, :]
                         sid = c * M + j * SUB + sub_off
                         msk = sid == slot
-                        for a in range(_RC_USED):
+                        for a in range(_RC_RES):
                             cur = acc_sc[a * SUB : (a + 1) * SUB, :]
                             acc_sc[a * SUB : (a + 1) * SUB, :] = cur + jnp.where(
-                                msk, tile[:, a : a + 1], 0.0
+                                msk, tile[:, _RC_E1 + a : _RC_E1 + a + 1], 0.0
                             )
 
                 return 0
 
             jax.lax.fori_loop(0, n_clusters, c_body, 0)
-            for a in range(_RC_USED):
+            for a in range(_RC_RES):
                 red = jnp.sum(
                     acc_sc[a * SUB : (a + 1) * SUB, :], axis=0, keepdims=True
                 )
@@ -597,10 +683,10 @@ def _mesh_kernel(
         is_tri = (idx >= 0) & ~is_ext
         # clamp extras winners out of the tri-resolve (they'd never match)
         if "resolve" in _ABLATE:  # profiling: plausible fixed attrs
-            attr_sc[:] = jnp.zeros((_RC_USED * RROWS, RB), f32)
-            attr_sc[5 * RROWS : 6 * RROWS, :] = jnp.ones((RROWS, RB), f32)
-            attr_sc[7 * RROWS : 8 * RROWS, :] = jnp.ones((RROWS, RB), f32)
-            attr_sc[10 * RROWS : 11 * RROWS, :] = -jnp.ones((RROWS, RB), f32)
+            attr_sc[:] = jnp.zeros((_RC_RES * RROWS, RB), f32)
+            attr_sc[2 * RROWS : 3 * RROWS, :] = jnp.ones((RROWS, RB), f32)
+            attr_sc[4 * RROWS : 5 * RROWS, :] = jnp.ones((RROWS, RB), f32)
+            attr_sc[7 * RROWS : 8 * RROWS, :] = -jnp.ones((RROWS, RB), f32)
         else:
             resolve_tris()
             if "resolve2" in _ABLATE:  # profiling: idempotent, 2x it
@@ -609,11 +695,10 @@ def _mesh_kernel(
         def attr(a):
             return attr_sc[a * RROWS : (a + 1) * RROWS, :]
 
-        v0x, v0y, v0z = attr(0), attr(1), attr(2)
-        v1x, v1y, v1z = attr(3), attr(4), attr(5)
-        v2x, v2y, v2z = attr(6), attr(7), attr(8)
-        mat_tri = attr(9)
-        alid_tri = attr(10)
+        e1x, e1y, e1z = attr(0), attr(1), attr(2)
+        e2x, e2y, e2z = attr(3), attr(4), attr(5)
+        mat_tri = attr(6)
+        alid_tri = attr(7)
 
         # ---- extras winner attributes (small SMEM loop) -------------------
         zeros = jnp.zeros(ox.shape, f32)
@@ -635,8 +720,6 @@ def _mesh_kernel(
         # ---- winner geometry ----------------------------------------------
         # triangles (world space): p = o + t d, n = norm(e1 x e2), dpdu = e1
         # (ops/intersect._triangle_geometry conventions)
-        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
         ngx, ngy, ngz = _cross3(e1x, e1y, e1z, e2x, e2y, e2z)
         ntx, nty, ntz = _normalize3(ngx, ngy, ngz, 1e-30)
         ptx = ox + dx * t
@@ -1237,8 +1320,7 @@ def _mesh_li_fwd(
         grid=grid,
         in_specs=[
             smem((1,)),                      # seed
-            smem(tuple(mt.cbounds.shape)),   # cluster bounds (padded)
-            smem(tuple(mt.scbounds.shape)),  # supercluster bounds
+            smem(tuple(mt.cbounds.shape)),   # cluster bounds
             smem((e_cnt,)),                  # extras type
             smem((e_cnt, 12)),               # extras w2o
             smem((e_cnt, 9)),                # extras params
@@ -1270,14 +1352,16 @@ def _mesh_li_fwd(
             pltpu.VMEM((RROWS * SUB, RB), jnp.float32),  # t8
             pltpu.VMEM((RROWS * SUB, RB), jnp.int32),    # i8
             pltpu.VMEM((RROWS, RB), jnp.float32),  # tc8
-            pltpu.VMEM((_RC_USED * SUB, RB), jnp.float32),    # acc_sc
-            pltpu.VMEM((_RC_USED * RROWS, RB), jnp.float32),  # attr_sc
+            pltpu.VMEM((_RC_RES * SUB, RB), jnp.float32),    # acc_sc
+            pltpu.VMEM((_RC_RES * RROWS, RB), jnp.float32),  # attr_sc
+            pltpu.SMEM((mt.n_clusters,), jnp.float32),       # keys_sc
+            pltpu.SMEM((mt.n_clusters,), jnp.int32),         # ord_sc
+            pltpu.SMEM((17,), jnp.int32),                    # bins_sc
         ],
         interpret=interpret,
     )(
         jnp.asarray(seed, jnp.uint32).reshape(1),
         mt.cbounds,
-        mt.scbounds,
         mt.ex_type,
         mt.ex_w2o,
         mt.ex_par,
