@@ -89,19 +89,29 @@ _ABLATE = frozenset(
     filter(None, os.environ.get("GOPBRT_MESH_ABLATE", "").split(","))
 )
 
-# triangle record columns (f32[K*M, _RC_K]): v0 | e1=v1-v0 | e2=v2-v0 |
-# material | area light.  Edges are precomputed on the host in f32 (bit-
-# identical to the kernel subtraction they replace), which both drops 6
-# subtractions from every member test and shrinks the winner-resolve
-# sweep to the _RC_RES columns starting at _RC_E1: nothing downstream
-# needs v0 (p = o + t*d, n = e1 x e2, dpdu = e1).
-_RC_V = 0
-_RC_E1 = 3
-_RC_MAT = 9
-_RC_ALID = 10
-_RC_USED = 11
-_RC_RES = _RC_USED - _RC_E1  # resolved attrs: e1, e2, mat, alid
-_RC_K = 16
+# triangle record columns (f32[K*M, _RC_K]), Havel-Herout precomputed-
+# plane form (On Fast Construction of SAH-based Bounding Volume
+# Hierarchies / "Yet Faster Ray-Triangle Intersection", Havel & Herout
+# 2010 — a public-domain standard):
+#   N = e1 x e2 (geometric normal, unnormalized), d_n = N.v0
+#   U = (e2 x N)/|N|^2, d_u = -U.v0   ->  u = U.P + d_u
+#   V = (N x e1)/|N|^2, d_v = -V.v0   ->  v = V.P + d_v
+# The member test needs only 3 dot products + the plane solve (~25%
+# fewer VPU ops than Moller-Trumbore from vertices), and the resolve
+# sweep reads just _RC_RES leading columns: N (the normal, no cross
+# needed), e1 (dpdu tangent, reflection.go:120-145 frame), material and
+# area-light id.  All precomputation is f32 on the host.
+_RC_N = 0       # 0-2   N
+_RC_E1 = 3      # 3-5   e1 (dpdu)
+_RC_MAT = 6
+_RC_ALID = 7
+_RC_RES = 8     # resolved attrs: N | e1 | mat | alid
+_RC_DN = 8
+_RC_U = 9       # 9-11  U
+_RC_DU = 12
+_RC_V3 = 13     # 13-15 V
+_RC_DV = 16
+_RC_K = 24
 
 # per-material shade columns (SMEM f32[NM, _MS_K])
 _MS_C1 = 0       # 0-2  kd constant / checker colour 1
@@ -246,15 +256,25 @@ def build_mesh_tables(scene, prims: Primitives, lo: np.ndarray,
     k = max(1, -(-nt // M))
     total = k * M
     rec = np.zeros((total, _RC_K), np.float32)
-    # pad rows: far-away degenerate triangle (e1 = e2 = 0 -> det 0, miss)
-    rec[:, _RC_V:_RC_V + 3] = 1e30
+    # pad rows stay all-zero: N = 0 -> |N.d| degenerate -> guaranteed miss
     p9 = params[tri_ids].astype(np.float32)
-    rec[:nt, _RC_V:_RC_V + 3] = p9[:, 0:3]
-    rec[:nt, _RC_E1:_RC_E1 + 3] = p9[:, 3:6] - p9[:, 0:3]
-    rec[:nt, _RC_E1 + 3:_RC_E1 + 6] = p9[:, 6:9] - p9[:, 0:3]
+    v0 = p9[:, 0:3]
+    e1 = p9[:, 3:6] - v0
+    e2 = p9[:, 6:9] - v0
+    nrm = np.cross(e1, e2).astype(np.float32)
+    n2 = np.maximum((nrm * nrm).sum(-1, keepdims=True), 1e-30).astype(np.float32)
+    uu = (np.cross(e2, nrm).astype(np.float32) / n2).astype(np.float32)
+    vv = (np.cross(nrm, e1).astype(np.float32) / n2).astype(np.float32)
+    rec[:nt, _RC_N:_RC_N + 3] = nrm
+    rec[:nt, _RC_E1:_RC_E1 + 3] = e1
     rec[:nt, _RC_MAT] = mat[tri_ids].astype(np.float32)
     rec[:nt, _RC_ALID] = alid[tri_ids].astype(np.float32)
     rec[nt:, _RC_ALID] = -1.0
+    rec[:nt, _RC_DN] = (nrm * v0).sum(-1)
+    rec[:nt, _RC_U:_RC_U + 3] = uu
+    rec[:nt, _RC_DU] = -(uu * v0).sum(-1)
+    rec[:nt, _RC_V3:_RC_V3 + 3] = vv
+    rec[:nt, _RC_DV] = -(vv * v0).sum(-1)
     cb = np.zeros((k, 8), np.float32)
     cb[:, 0:3] = 3e37
     cb[:, 3:6] = -3e37
@@ -334,25 +354,22 @@ def _ggx_lambda(c_w, alpha):
     return (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0
 
 
-def _tri_test_e(pr, ox, oy, oz, dx, dy, dz, t_limit):
-    """Möller–Trumbore on a (v0, e1, e2) record -> candidate t (_BIG miss).
+def _tri_test_h(nx, ny, nz, dn, ux, uy, uz, du, vx, vy, vz, dv,
+                ox, oy, oz, dx, dy, dz, t_limit):
+    """Havel-Herout plane-form ray-triangle test -> candidate t (_BIG miss).
 
-    Bit-identical to pallas_intersect._prim_test's TRIANGLE branch
-    (triangle.go:79-130 semantics): the host precomputes e1/e2 with the
-    same f32 subtraction the shared test performs per-query."""
-    pvx = dy * pr[8] - dz * pr[7]
-    pvy = dz * pr[6] - dx * pr[8]
-    pvz = dx * pr[7] - dy * pr[6]
-    det = pr[3] * pvx + pr[4] * pvy + pr[5] * pvz
-    degen = jnp.abs(det) < 1e-12
-    inv_det = 1.0 / jnp.where(degen, 1.0, det)
-    tvx, tvy, tvz = ox - pr[0], oy - pr[1], oz - pr[2]
-    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-    qvx = tvy * pr[5] - tvz * pr[4]
-    qvy = tvz * pr[3] - tvx * pr[5]
-    qvz = tvx * pr[4] - tvy * pr[3]
-    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-    tt = (pr[6] * qvx + pr[7] * qvy + pr[8] * qvz) * inv_det
+    Same accept region as the Möller-Trumbore test the jnp chain uses
+    (triangle.go:79-130 semantics: u>=0, v>=0, u+v<=1, t in range,
+    |N.d| degenerate cut) — t/u/v differ from the vertex form only in
+    f32 rounding, so discrete decisions flip on the rare edge lane."""
+    den = nx * dx + ny * dy + nz * dz
+    degen = jnp.abs(den) < 1e-12
+    tt = (dn - (nx * ox + ny * oy + nz * oz)) / jnp.where(degen, 1.0, den)
+    px = ox + tt * dx
+    py = oy + tt * dy
+    pz = oz + tt * dz
+    u = ux * px + uy * py + uz * pz + du
+    v = vx * px + vy * py + vz * pz + dv
     vt = (
         (~degen)
         & (u >= 0.0)
@@ -533,10 +550,16 @@ def _mesh_kernel(
                     ctile = tri_ref[pl.ds(c * M, M), :]
                     for j in range(M // SUB):
                         tile = ctile[j * SUB : (j + 1) * SUB, :]
-                        pr = [tile[:, k : k + 1] for k in range(9)]
+                        col = lambda k, tile=tile: tile[:, k : k + 1]
                         t_best = t8[rs, :]
-                        tp = _tri_test_e(
-                            pr, ox, oy, oz, dx, dy, dz, t_best
+                        tp = _tri_test_h(
+                            col(_RC_N), col(_RC_N + 1), col(_RC_N + 2),
+                            col(_RC_DN),
+                            col(_RC_U), col(_RC_U + 1), col(_RC_U + 2),
+                            col(_RC_DU),
+                            col(_RC_V3), col(_RC_V3 + 1), col(_RC_V3 + 2),
+                            col(_RC_DV),
+                            ox, oy, oz, dx, dy, dz, t_best,
                         )
                         better = tp < t_best
                         t8[rs, :] = jnp.where(better, tp, t_best)
@@ -600,9 +623,9 @@ def _mesh_kernel(
 
     def resolve_tris():
         """Winner-attribute sweep: for each row, accumulate the _RC_RES
-        record columns (e1 | e2 | mat | alid) of the winning slot over
-        pl.when-gated clusters.  v0 is never resolved: hit geometry needs
-        only p = o + t*d, n = e1 x e2, dpdu = e1."""
+        leading record columns (N | e1 | mat | alid) of the winning slot
+        over pl.when-gated clusters.  Hit geometry needs nothing else:
+        p = o + t*d, n = norm(N), dpdu = e1."""
 
         def row_body(r, _):
             slot = o_slot[pl.ds(r, 1), :]
@@ -621,7 +644,7 @@ def _mesh_kernel(
                         for a in range(_RC_RES):
                             cur = acc_sc[a * SUB : (a + 1) * SUB, :]
                             acc_sc[a * SUB : (a + 1) * SUB, :] = cur + jnp.where(
-                                msk, tile[:, _RC_E1 + a : _RC_E1 + a + 1], 0.0
+                                msk, tile[:, a : a + 1], 0.0
                             )
 
                 return 0
@@ -695,8 +718,8 @@ def _mesh_kernel(
         def attr(a):
             return attr_sc[a * RROWS : (a + 1) * RROWS, :]
 
-        e1x, e1y, e1z = attr(0), attr(1), attr(2)
-        e2x, e2y, e2z = attr(3), attr(4), attr(5)
+        ngx, ngy, ngz = attr(0), attr(1), attr(2)
+        e1x, e1y, e1z = attr(3), attr(4), attr(5)
         mat_tri = attr(6)
         alid_tri = attr(7)
 
@@ -718,9 +741,9 @@ def _mesh_kernel(
             scale2 = jnp.where(is_e, exa_ref[e, _EX_SCALE2], scale2)
 
         # ---- winner geometry ----------------------------------------------
-        # triangles (world space): p = o + t d, n = norm(e1 x e2), dpdu = e1
-        # (ops/intersect._triangle_geometry conventions)
-        ngx, ngy, ngz = _cross3(e1x, e1y, e1z, e2x, e2y, e2z)
+        # triangles (world space): p = o + t d, n = norm(N), dpdu = e1
+        # (ops/intersect._triangle_geometry conventions; N = e1 x e2 is
+        # resolved straight from the record)
         ntx, nty, ntz = _normalize3(ngx, ngy, ngz, 1e-30)
         ptx = ox + dx * t
         pty = oy + dy * t
