@@ -1267,11 +1267,24 @@ def _mesh_kernel(
         zeros + cone_w0,
         zeros + 1.0,
     )
-    # static trip count, like the brute megakernel: the while_loop early
-    # exit measured +5% here but was only ever benchmarked together with
-    # the miscompiling supercluster cull (see the traversal NOTE above) —
-    # kept on the verified fori_loop until re-measured in isolation
-    state = jax.lax.fori_loop(0, max_depth, bounce, state)
+    # Data-dependent bounce loop: exit the block as soon as every lane is
+    # dead.  Re-measured in isolation round 5 (the round-4 number was
+    # tainted by the miscompiling supercluster cull): 225.5 -> 201.5 ms
+    # on the config-3 bench — grid steps covering sky-dominated bands go
+    # fully dead after a bounce or two and skip the rest of the loop.
+    # (The brute megakernel measured the same construct 20x SLOWER on
+    # the closed demo scene, where blocks never die; see BENCH_NOTES.)
+    # "nowexit" ablation restores the static fori_loop for A/B runs.
+    if "nowexit" in _ABLATE:
+        state = jax.lax.fori_loop(0, max_depth, bounce, state)
+    else:
+        def w_cond(si):
+            return (si[0] < max_depth) & (jnp.sum(si[1][12]) > 0.0)
+
+        def w_body(si):
+            return (si[0] + 1, bounce(si[0], si[1]))
+
+        _, state = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), state))
     lr_ref[:] = state[9]
     lg_ref[:] = state[10]
     lb_ref[:] = state[11]
