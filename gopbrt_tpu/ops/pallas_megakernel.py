@@ -56,7 +56,7 @@ from gopbrt_tpu.ops.rng import (
 )
 
 SUB = 8
-LANE = 1024
+LANE = 256
 BLOCK = SUB * LANE
 _BIG = 1e30
 PI = math.pi
@@ -223,6 +223,8 @@ def _mega_kernel(
     pix_ref, samp_ref, alive_ref,
     # outputs
     lr_ref, lg_ref, lb_ref,
+    # scratch: path state between bounces + block-alive count
+    st_sc, na_sc,
 ):
     f32 = jnp.float32
     seed = seed_ref[0]
@@ -753,13 +755,41 @@ def _mega_kernel(
         zeros + cone_w0,                        # ray-cone footprint width
         zeros + 1.0,                            # etaScale (path.go:105-115)
     )
-    # NOTE: a while_loop block-level early exit was tried here (exit once
-    # every lane in the block is dead) and MEASURED 20x SLOWER on v5e:
-    # Mosaic unrolls the static fori_loop and keeps the carried path state
-    # in vector registers, but a data-dependent while_loop forces the whole
-    # ~550 KB state through VMEM every iteration and blocks the unrolled
-    # scheduling.  Static trip count it is (BENCH_NOTES round 4).
-    state = jax.lax.fori_loop(0, max_depth, bounce, state)
+    # Block-level all-dead early exit, round-5 formulation.  Round 4 tried
+    # a lax.while_loop over the 17-array register-carried state and
+    # measured it 20x SLOWER (the data-dependent loop forces the ~550 KB
+    # carry through VMEM every iteration and blocks the unrolled
+    # scheduling).  This version makes the VMEM round-trip EXPLICIT and
+    # cheap: state lives in one scratch buffer between bounces, the trip
+    # count stays static (fori_loop, unrolled), and each bounce body is
+    # pl.when-gated on a block-alive scalar — a fully dead block pays one
+    # scalar test per remaining bounce.  Single-level predication around
+    # scratch mutation only (the round-4 supercluster Mosaic lesson).
+    _NS = len(state)
+
+    def save(st):
+        for i, a in enumerate(st):
+            st_sc[i * SUB : (i + 1) * SUB, :] = a
+
+    def load():
+        return tuple(
+            st_sc[i * SUB : (i + 1) * SUB, :] for i in range(_NS)
+        )
+
+    save(state)
+    na_sc[0] = jnp.sum(alive_ref[:])
+
+    def outer(i, _):
+        @pl.when(na_sc[0] > 0.0)
+        def _():
+            st = bounce(i, load())
+            save(st)
+            na_sc[0] = jnp.sum(st[12])
+
+        return 0
+
+    jax.lax.fori_loop(0, max_depth, outer, 0)
+    state = load()
     lr_ref[:] = state[9]
     lg_ref[:] = state[10]
     lb_ref[:] = state[11]
@@ -918,6 +948,10 @@ def _li_fused_fwd(
         ],
         out_specs=[ray_spec, ray_spec, ray_spec],
         out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((17 * SUB, LANE), jnp.float32),  # st_sc
+            pltpu.SMEM((1,), jnp.float32),              # na_sc
+        ],
         interpret=interpret,
     )(
         jnp.asarray(seed, jnp.uint32).reshape(1),
