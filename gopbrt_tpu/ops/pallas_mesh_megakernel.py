@@ -630,12 +630,21 @@ def _mesh_kernel(
         def row_body(r, _):
             slot = o_slot[pl.ds(r, 1), :]
             acc_sc[:] = jnp.zeros((_RC_RES * SUB, RB), f32)
+            # sweep only the [min, max] winner-cluster range of this row:
+            # coherent rows touch 1-3 clusters instead of all K; rows with
+            # no triangle winner get an empty loop (cmax = -1 < cmin)
+            cid = jnp.where(slot >= 0, slot // M, n_clusters)
+            cmin = jnp.min(cid)
+            cmax = jnp.max(jnp.where(slot >= 0, slot // M, -1))
 
             def c_body(c, _):
                 in_c = (slot >= c * M) & (slot < (c + 1) * M)
 
                 @pl.when(jnp.any(in_c))
                 def _():
+                    # (a dynamic [jmin, jmax] winner-tile sub-loop was
+                    # also tried here: 186.8 vs 183.9 ms — the dynamic
+                    # fori overhead beats the unrolled 16 tiles; static)
                     ctile = tri_ref[pl.ds(c * M, M), :]
                     for j in range(M // SUB):
                         tile = ctile[j * SUB : (j + 1) * SUB, :]
@@ -649,7 +658,7 @@ def _mesh_kernel(
 
                 return 0
 
-            jax.lax.fori_loop(0, n_clusters, c_body, 0)
+            jax.lax.fori_loop(cmin, cmax + 1, c_body, 0)
             for a in range(_RC_RES):
                 red = jnp.sum(
                     acc_sc[a * SUB : (a + 1) * SUB, :], axis=0, keepdims=True
