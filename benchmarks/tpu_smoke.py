@@ -219,6 +219,39 @@ def main() -> int:
             width=w, height=h, spp=1, max_depth=5
         )
 
+    def _rough_cfg(w, h):
+        # config4 with the glass sphere made ROUGH: exercises the GGX
+        # R+T lobes the brute kernel gained in round 5
+        import numpy as _np
+
+        from gopbrt_tpu.models import camera as cam_mod
+        from gopbrt_tpu.models.scene import SceneBuilder
+        from gopbrt_tpu.ops import geom
+
+        b = SceneBuilder()
+        checker = b.checkerboard_texture(
+            (0.8, 0.8, 0.8), (0.2, 0.2, 0.2),
+            vs=(0.7, 0.0, 0.0), vt=(0.0, 0.0, 0.7), mapping="planar",
+        )
+        floor = b.matte(kd=(1.0, 1.0, 1.0), kd_tex=checker)
+        b.disk(_np.asarray(geom.rotate_x(-90.0)), 60.0, floor)
+        rough = b.glass(kr=(1.0, 1.0, 1.0), kt=(1.0, 1.0, 1.0), eta=1.5,
+                        roughness=0.15)
+        b.sphere(_np.asarray(geom.translate([0.0, 1.2, 0.0])), 1.2, rough)
+        matte = b.matte(kd=(0.7, 0.3, 0.2))
+        b.sphere(_np.asarray(geom.translate([2.4, 0.8, -1.4])), 0.8, matte)
+        dark = b.matte(kd=(0.0, 0.0, 0.0))
+        lamp = b.sphere(_np.asarray(geom.translate([-2.5, 4.0, 2.0])), 0.5,
+                        dark)
+        b.area_light(lamp, radiance=(30.0, 28.0, 24.0), two_sided=False)
+        scene = b.build(accelerator="none")
+        cam = cam_mod.perspective_camera(
+            geom.look_at([0.0, 2.4, 6.5], [0.0, 1.0, 0.0], [0.0, 1.0, 0.0]),
+            w, h, fov_deg=45.0,
+        )
+        return scene, cam, RenderSettings(width=w, height=h, spp=1,
+                                          max_depth=5)
+
     checks = [
         ("brute_intersect", check_brute_intersect),
         ("cluster_intersect", check_cluster_intersect),
@@ -227,6 +260,8 @@ def main() -> int:
          lambda: check_megakernel("config2", gallery.config2, 5, 9)),
         ("mega_glass",
          lambda: check_megakernel("config4", gallery.config4, 8, 3)),
+        ("mega_rough_glass",
+         lambda: check_megakernel("rough_glass", _rough_cfg, 5, 13)),
         ("mega_mesh", check_mesh_megakernel),
     ]
     results = {}

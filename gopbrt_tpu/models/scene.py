@@ -760,8 +760,7 @@ class SceneBuilder:
                 common = False
             if m["mat_type"] == MATTE and m["sigma"] != 0.0:
                 common = False
-            if m["mat_type"] == GLASS and m["roughness"] > 1e-4:
-                common = False  # rough glass: GGX lobes stay on the jnp chain
+
             t = m["kd_tex"]
             if t >= 0:
                 row = self._textures[t]
@@ -808,17 +807,27 @@ class SceneBuilder:
                for m in self._materials):
             ok = False
 
+        has_rough_glass = any(
+            m["mat_type"] == GLASS and m["roughness"] > 1e-4
+            for m in self._materials
+        )
+
         # mesh megakernel: + triangles (<= 32 non-tri extras), + plastic,
-        # <= 16 materials (SMEM shade-table sweep cost)
-        mesh_ok = common and len(self._materials) <= 16
+        # <= 16 materials (SMEM shade-table sweep cost); NO rough glass
+        # (the GGX R+T lobes are only in the brute kernel, round 5)
+        mesh_ok = common and len(self._materials) <= 16 and not has_rough_glass
         n_extras = sum(1 for t in self._prim_type if t != TRIANGLE)
         if not any(t == TRIANGLE for t in self._prim_type) or n_extras > 32:
             mesh_ok = False
         if any(m["mat_type"] not in (MATTE, MIRROR, GLASS, PLASTIC)
                for m in self._materials):
             mesh_ok = False
-        has_glass = any(m["mat_type"] == GLASS for m in self._materials)
-        return FastPathInfo(ok=ok, mesh_ok=mesh_ok, has_glass=has_glass)
+        has_glass = any(
+            m["mat_type"] == GLASS and m["roughness"] <= 1e-4
+            for m in self._materials
+        )
+        return FastPathInfo(ok=ok, mesh_ok=mesh_ok, has_glass=has_glass,
+                            has_rough_glass=has_rough_glass)
 
     def _light_distribution(self, lights: Lights, world_radius: float):
         from gopbrt_tpu.ops import lights as lights_ops

@@ -326,8 +326,13 @@ def microfacet_transmission_f(kt, eta_interior, alpha, wo, wi):
                 * jnp.abs(dot(wo, wh))
                 * factor
                 * factor
+                # |c_i c_o|: the product is NEGATIVE for transmission
+                # (opposite hemispheres) and clamping the signed value at
+                # +1e-10 floored the whole denominator, exploding f by
+                # ~1e9 (round-5 fix; reference reflection.go:826-834
+                # divides by the signed product inside a final Abs)
                 / jnp.maximum(
-                    c_i * c_o * sqrt_denom * sqrt_denom, 1e-10
+                    jnp.abs(c_i * c_o) * sqrt_denom * sqrt_denom, 1e-10
                 )
             )
         )[..., None]

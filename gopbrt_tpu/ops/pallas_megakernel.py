@@ -76,10 +76,12 @@ _SH_TSS = 17      # |vs| texture-mapping scale (checker AA filter width)
 _SH_TST = 18      # |vt|
 _SH_MIR = 19      # is_mirror flag (SpecularReflection, reflection.go:538-574)
 _SH_KR = 20       # 20-22 mirror/glass reflectance
-_SH_GLS = 23      # is smooth glass flag (FresnelSpecular, reflection.go:465-536)
+_SH_GLS = 23      # is SMOOTH glass flag (FresnelSpecular, reflection.go:465-536)
 _SH_KT = 24       # 24-26 glass transmittance
 _SH_ETA = 27      # glass interior IOR
-_SH_K = 28
+_SH_RGL = 28      # is ROUGH glass flag (GGX R+T, glass.go:49-72; quirk #5)
+_SH_ALPHA = 29    # GGX alpha (already remapped at build)
+_SH_K = 30
 
 # light aux column layout (per light, f32[L, 8])
 _LA_TWO = 0       # two_sided flag
@@ -139,6 +141,41 @@ def _coord_system(vx, vy, vz):
     ux, uy, uz = 1.0 + sign * vx * vx * a, sign * b, -sign * vx
     wx, wy, wz = b, sign + vy * vy * a, -vy
     return (ux, uy, uz), (wx, wy, wz)
+
+
+def _fresnel_diel(cos_i, eta):
+    """Unpolarised dielectric Fresnel on triples (reflection.go:21-42):
+    handles exiting rays (cos_i < 0) by swapping indices."""
+    ci0 = jnp.clip(cos_i, -1.0, 1.0)
+    entering = ci0 > 0.0
+    ei = jnp.where(entering, 1.0, eta)
+    et = jnp.where(entering, eta, 1.0)
+    ci = jnp.abs(ci0)
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    sin_t = ei / et * sin_i
+    tir = sin_t >= 1.0
+    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    r_parl = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-20)
+    r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-20)
+    return jnp.where(tir, 1.0, 0.5 * (r_parl * r_parl + r_perp * r_perp))
+
+
+def _ggx_d(c_wh, alpha):
+    """Isotropic GGX D from cos(wh, n) (microfacet.go:47-55)."""
+    c2 = c_wh * c_wh
+    t2 = (1.0 - c2) / jnp.maximum(c2, 1e-20)
+    a2 = alpha * alpha
+    e = t2 / jnp.maximum(a2, 1e-12)
+    d = 1.0 / (PI * a2 * c2 * c2 * (1.0 + e) ** 2 + 1e-20)
+    return jnp.where(c2 > 1e-16, d, 0.0)
+
+
+def _ggx_lambda(c_w, alpha):
+    """Smith Λ from cos(w, n) (microfacet.go:56-64)."""
+    c2 = jnp.maximum(c_w * c_w, 1e-20)
+    abs_tan = jnp.sqrt(jnp.maximum(0.0, 1.0 - c2) / c2)
+    a2t2 = (alpha * abs_tan) ** 2
+    return (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0
 
 
 def _power_heuristic(f, g):
@@ -214,7 +251,7 @@ def sphere_area_pdf_li(rx, ry, rz, wx, wy, wz, cx, cy, cz, rad):
 def _mega_kernel(
     # static
     n_prims, n_lights, max_depth, rr_start, rr_threshold,
-    types, full_sph, full_disk, any_checker, use_cone, any_glass,
+    types, full_sph, full_disk, any_checker, use_cone, any_glass, any_rough,
     # SMEM tables
     seed_ref, ptype_ref, w2o_ref, params_ref, shade_ref,
     ltype_ref, lpos_ref, lint_ref, laux_ref, lcdf_ref, scal_ref,
@@ -458,6 +495,97 @@ def _mega_kernel(
 
         d_off = _offset_dist(nx, ny, nz, px, py, pz)
 
+        if any_rough:
+            # ---- rough glass (GGX R+T, glass.go:49-72; reflection.go:
+            # 670-835 with quirk #5 NDF sampling and the round-5
+            # transmission-denominator fix) — world-frame evaluation,
+            # mirrors ops/bsdf._glass_rough_f + the glass bsdf_pdf branch
+            # op-for-op so per-lane radiance matches the jnp chain
+            is_rgl = shade[_SH_RGL] > 0.5
+            alpha_g = jnp.maximum(shade[_SH_ALPHA], 1e-3)
+            eta_rg = jnp.maximum(shade[_SH_ETA], 1e-3)
+            aco_r = jnp.abs(cos_o)
+            F_o_rgl = _fresnel_diel(cos_o, eta_rg)
+
+            def rough_glass_eval(wix_e, wiy_e, wiz_e):
+                """-> (refl, trans, pdf): scalar reflection/transmission
+                lobe values (multiply kr/kt and |cos_i| outside) and the
+                Fresnel-weighted half-vector sampling pdf toward wi."""
+                ci_e = _dot3(wix_e, wiy_e, wiz_e, nx, ny, nz)
+                same_e = cos_o * ci_e > 0.0
+                aci_e = jnp.abs(ci_e)
+                # reflection half-vector
+                hx = wix_e + wox
+                hy = wiy_e + woy
+                hz = wiz_e + woz
+                h2 = hx * hx + hy * hy + hz * hz
+                hx, hy, hz = _normalize3(hx, hy, hz, 1e-20)
+                c_wh = _dot3(hx, hy, hz, nx, ny, nz)
+                sgn_h = jnp.where(c_wh < 0.0, -1.0, 1.0)
+                fr_r = _fresnel_diel(
+                    _dot3(wix_e, wiy_e, wiz_e,
+                          sgn_h * hx, sgn_h * hy, sgn_h * hz),
+                    eta_rg,
+                )
+                d_r = _ggx_d(c_wh, alpha_g)
+                g_e = 1.0 / (
+                    1.0
+                    + _ggx_lambda(cos_o, alpha_g)
+                    + _ggx_lambda(ci_e, alpha_g)
+                )
+                degen_r = (aco_r < 1e-7) | (aci_e < 1e-7) | (h2 < 1e-14)
+                refl = jnp.where(
+                    same_e & ~degen_r,
+                    fr_r * d_r * g_e
+                    / jnp.maximum(4.0 * aco_r * aci_e, 1e-7),
+                    0.0,
+                )
+                doh_r = _dot3(wox, woy, woz, hx, hy, hz)
+                mf_pdf_r = jnp.where(
+                    same_e,
+                    d_r * jnp.abs(c_wh)
+                    / jnp.maximum(4.0 * jnp.abs(doh_r), 1e-7),
+                    0.0,
+                )
+                # transmission half-vector: wh ~ wo + eta*wi, +n oriented
+                eta_t = jnp.where(cos_o > 0.0, eta_rg, 1.0 / eta_rg)
+                thx = wox + wix_e * eta_t
+                thy = woy + wiy_e * eta_t
+                thz = woz + wiz_e * eta_t
+                thx, thy, thz = _normalize3(thx, thy, thz, 1e-20)
+                c_th = _dot3(thx, thy, thz, nx, ny, nz)
+                sgn_t = jnp.where(c_th < 0.0, -1.0, 1.0)
+                thx, thy, thz = sgn_t * thx, sgn_t * thy, sgn_t * thz
+                c_th = sgn_t * c_th
+                do_h = _dot3(wox, woy, woz, thx, thy, thz)
+                di_h = _dot3(wix_e, wiy_e, wiz_e, thx, thy, thz)
+                denom = do_h + eta_t * di_h
+                fr_t = _fresnel_diel(do_h, eta_rg)
+                d_t = _ggx_d(c_th, alpha_g)
+                # eta^2 * (1/eta)^2 cancels (radiance factor via etaScale)
+                degen_t = same_e | (aci_e < 1e-7) | (aco_r < 1e-7)
+                trans = jnp.where(
+                    degen_t,
+                    0.0,
+                    (1.0 - fr_t)
+                    * jnp.abs(
+                        d_t * g_e * jnp.abs(di_h) * jnp.abs(do_h)
+                        / jnp.maximum(
+                            jnp.abs(ci_e * cos_o) * denom * denom, 1e-10
+                        )
+                    ),
+                )
+                dwh_dwi = jnp.abs(
+                    eta_t * eta_t * di_h
+                ) / jnp.maximum(denom * denom, 1e-10)
+                mf_pdf_t = d_t * jnp.abs(c_th) * dwh_dwi
+                pdf_e = jnp.where(
+                    same_e,
+                    F_o_rgl * mf_pdf_r,
+                    (1.0 - F_o_rgl) * mf_pdf_t,
+                )
+                return refl, trans, pdf_e
+
         # ---- NEE: one-light estimate (integrator.go:48-77, 79-195) --------
         if n_lights > 0:
             u_pick = u1(D_LIGHT_PICK)
@@ -567,7 +695,32 @@ def _mega_kernel(
             same = cos_o * cos_i > 0.0
             f_gain = jnp.where(same, INV_PI * jnp.abs(cos_i), 0.0)
             b_pdf = jnp.where(same, jnp.abs(cos_i) * INV_PI, 0.0)
-            f_max = jnp.maximum(kdr, jnp.maximum(kdg, kdb)) * f_gain
+            fR_n = kdr * f_gain
+            fG_n = kdg * f_gain
+            fB_n = kdb * f_gain
+            if any_rough:
+                # rough-glass lanes: GGX R/T toward the light + MIS pdf
+                r_e, t_e, p_e = rough_glass_eval(wix, wiy, wiz)
+                aci_n = jnp.abs(cos_i)
+                fR_n = jnp.where(
+                    is_rgl,
+                    (shade[_SH_KR] * r_e + shade[_SH_KT] * t_e) * aci_n,
+                    fR_n,
+                )
+                fG_n = jnp.where(
+                    is_rgl,
+                    (shade[_SH_KR + 1] * r_e + shade[_SH_KT + 1] * t_e)
+                    * aci_n,
+                    fG_n,
+                )
+                fB_n = jnp.where(
+                    is_rgl,
+                    (shade[_SH_KR + 2] * r_e + shade[_SH_KT + 2] * t_e)
+                    * aci_n,
+                    fB_n,
+                )
+                b_pdf = jnp.where(is_rgl, p_e, b_pdf)
+            f_max = jnp.maximum(fR_n, jnp.maximum(fG_n, fB_n))
             li_max = jnp.maximum(lir, jnp.maximum(lig, lib))
             is_spec = shade[_SH_MIR] > 0.5
             if any_glass:
@@ -591,15 +744,14 @@ def _mega_kernel(
                 is_delta, 1.0, _power_heuristic(ls_pdf, b_pdf)
             )
             gain = (
-                f_gain
-                * weight
+                weight
                 / jnp.maximum(ls_pdf, 1e-20)
                 / jnp.maximum(pick_pmf, 1e-20)
             )
             gain = jnp.where(vis, gain, 0.0)
-            LR = LR + bR * kdr * lir * gain
-            LG = LG + bG * kdg * lig * gain
-            LB = LB + bB * kdb * lib * gain
+            LR = LR + bR * fR_n * lir * gain
+            LG = LG + bG * fG_n * lig * gain
+            LB = LB + bB * fB_n * lib * gain
 
         # ---- BSDF sample: cosine hemisphere (path.go:91-101) --------------
         ub0 = u1(D_BSDF_UV)
@@ -650,7 +802,8 @@ def _mega_kernel(
             r_parl = (et * ci - ei * ct_f) / jnp.maximum(et * ci + ei * ct_f, 1e-20)
             r_perp = (ei * ci - et * ct_f) / jnp.maximum(ei * ci + et * ct_f, 1e-20)
             F = jnp.where(tir, 1.0, 0.5 * (r_parl * r_parl + r_perp * r_perp))
-            choose_r = u1(D_BSDF_LOBE) < F
+            u_lobe = u1(D_BSDF_LOBE)
+            choose_r = u_lobe < F
             # refraction about the oriented normal (reflection.go:106-118)
             eta_ratio = jnp.where(entering, 1.0 / eta_g, eta_g)
             sgn_e = jnp.where(entering, 1.0, -1.0)
@@ -679,22 +832,100 @@ def _mega_kernel(
             fG_g = jnp.where(choose_r, shade[_SH_KR + 1], er2 * ktg)
             fB_g = jnp.where(choose_r, shade[_SH_KR + 2], er2 * ktb)
 
+            if any_rough:
+                # ---- rough glass sample: GGX NDF half-vector, Fresnel
+                # R/T choice at the half-vector (ops/bsdf.bsdf_sample
+                # rough-glass branch; glass.go:49-72 semantics)
+                tan2w = alpha_g * alpha_g * ub0 / jnp.maximum(1.0 - ub0, 1e-7)
+                ctw = 1.0 / jnp.sqrt(1.0 + tan2w)
+                stw = jnp.sqrt(jnp.maximum(0.0, 1.0 - ctw * ctw))
+                phiw = 2.0 * PI * ub1
+                cpw = stw * jnp.cos(phiw)
+                spw = stw * jnp.sin(phiw)
+                flip_h = jnp.where(cos_o < 0.0, -1.0, 1.0)
+                whx_s = (ssx * cpw + tsx * spw + nx * ctw) * flip_h
+                why_s = (ssy * cpw + tsy * spw + ny * ctw) * flip_h
+                whz_s = (ssz * cpw + tsz * spw + nz * ctw) * flip_h
+                doh_s = _dot3(wox, woy, woz, whx_s, why_s, whz_s)
+                fr_wh = _fresnel_diel(doh_s, eta_rg)
+                choose_rg = u_lobe < fr_wh
+                # reflection about wh
+                wix_rr, wiy_rr, wiz_rr = _normalize3(
+                    2.0 * doh_s * whx_s - wox,
+                    2.0 * doh_s * why_s - woy,
+                    2.0 * doh_s * whz_s - woz,
+                    1e-20,
+                )
+                # refraction about wh oriented toward wo
+                sgn_o = jnp.where(doh_s < 0.0, -1.0, 1.0)
+                ci_h = jnp.abs(doh_s)
+                sin2_h = er2 * (1.0 - ci_h * ci_h)
+                ok_mt = sin2_h < 1.0
+                cth_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_h))
+                coef_h = eta_ratio * ci_h - cth_h
+                wix_tt, wiy_tt, wiz_tt = _normalize3(
+                    coef_h * sgn_o * whx_s - eta_ratio * wox,
+                    coef_h * sgn_o * why_s - eta_ratio * woy,
+                    coef_h * sgn_o * whz_s - eta_ratio * woz,
+                    1e-20,
+                )
+                wix_rg = jnp.where(choose_rg, wix_rr, wix_tt)
+                wiy_rg = jnp.where(choose_rg, wiy_rr, wiy_tt)
+                wiz_rg = jnp.where(choose_rg, wiz_rr, wiz_tt)
+                r_s, t_s, pdf_rg = rough_glass_eval(wix_rg, wiy_rg, wiz_rg)
+                aci_s = jnp.abs(_dot3(wix_rg, wiy_rg, wiz_rg, nx, ny, nz))
+                thr_rg = jnp.where(
+                    pdf_rg > 1e-9, aci_s / jnp.maximum(pdf_rg, 1e-20), 0.0
+                )
+                fR_rg = (shade[_SH_KR] * r_s + ktr * t_s) * thr_rg
+                fG_rg = (shade[_SH_KR + 1] * r_s + ktg * t_s) * thr_rg
+                fB_rg = (shade[_SH_KR + 2] * r_s + ktb * t_s) * thr_rg
+                ok_rg = (pdf_rg > 1e-9) & (
+                    jnp.maximum(fR_rg, jnp.maximum(fG_rg, fB_rg)) > 0.0
+                )
             # NOTE: no jnp.where on bool vectors — Mosaic cannot select
             # between i1 vectors (pallas_intersect.py:66-70); logical ops.
             not_spec = ~is_mir & ~is_gls
-            ok = (is_mir & (kr_max > 0.0)) | (is_gls & ok_g) | (not_spec & ok)
-            wix_n = jnp.where(is_mir, wix_m, jnp.where(is_gls, wix_g, wix_n))
-            wiy_n = jnp.where(is_mir, wiy_m, jnp.where(is_gls, wiy_g, wiy_n))
-            wiz_n = jnp.where(is_mir, wiz_m, jnp.where(is_gls, wiz_g, wiz_n))
-            pdf_b = jnp.where(is_mir, 1.0, jnp.where(is_gls, pdf_g, pdf_b))
-            fR = jnp.where(is_mir, shade[_SH_KR], jnp.where(is_gls, fR_g, kdr * thr))
-            fG = jnp.where(is_mir, shade[_SH_KR + 1], jnp.where(is_gls, fG_g, kdg * thr))
-            fB = jnp.where(is_mir, shade[_SH_KR + 2], jnp.where(is_gls, fB_g, kdb * thr))
-            # radiance scaling across refraction boundaries (path.go:105)
-            es_new = jnp.where(
-                is_gls & ~choose_r & ok_t, es / jnp.maximum(er2, 1e-20), es
-            )
-            spec_next = is_mir | is_gls
+            if any_rough:
+                not_spec = not_spec & ~is_rgl
+                ok = (
+                    (is_mir & (kr_max > 0.0))
+                    | (is_gls & ok_g)
+                    | (is_rgl & ok_rg)
+                    | (not_spec & ok)
+                )
+                sel3 = lambda a_m, a_g, a_r, a_d: jnp.where(
+                    is_mir, a_m,
+                    jnp.where(is_gls, a_g, jnp.where(is_rgl, a_r, a_d)),
+                )
+                wix_n = sel3(wix_m, wix_g, wix_rg, wix_n)
+                wiy_n = sel3(wiy_m, wiy_g, wiy_rg, wiy_n)
+                wiz_n = sel3(wiz_m, wiz_g, wiz_rg, wiz_n)
+                pdf_b = sel3(jnp.ones_like(pdf_b), pdf_g, pdf_rg, pdf_b)
+                fR = sel3(shade[_SH_KR], fR_g, fR_rg, kdr * thr)
+                fG = sel3(shade[_SH_KR + 1], fG_g, fG_rg, kdg * thr)
+                fB = sel3(shade[_SH_KR + 2], fB_g, fB_rg, kdb * thr)
+                es_new = jnp.where(
+                    (is_gls & ~choose_r & ok_t)
+                    | (is_rgl & ~choose_rg & ok_mt),
+                    es / jnp.maximum(er2, 1e-20),
+                    es,
+                )
+                spec_next = is_mir | is_gls  # rough glass is NOT delta
+            else:
+                ok = (is_mir & (kr_max > 0.0)) | (is_gls & ok_g) | (not_spec & ok)
+                wix_n = jnp.where(is_mir, wix_m, jnp.where(is_gls, wix_g, wix_n))
+                wiy_n = jnp.where(is_mir, wiy_m, jnp.where(is_gls, wiy_g, wiy_n))
+                wiz_n = jnp.where(is_mir, wiz_m, jnp.where(is_gls, wiz_g, wiz_n))
+                pdf_b = jnp.where(is_mir, 1.0, jnp.where(is_gls, pdf_g, pdf_b))
+                fR = jnp.where(is_mir, shade[_SH_KR], jnp.where(is_gls, fR_g, kdr * thr))
+                fG = jnp.where(is_mir, shade[_SH_KR + 1], jnp.where(is_gls, fG_g, kdg * thr))
+                fB = jnp.where(is_mir, shade[_SH_KR + 2], jnp.where(is_gls, fB_g, kdb * thr))
+                # radiance scaling across refraction boundaries (path.go:105)
+                es_new = jnp.where(
+                    is_gls & ~choose_r & ok_t, es / jnp.maximum(er2, 1e-20), es
+                )
+                spec_next = is_mir | is_gls
         else:
             ok = (is_mir & (kr_max > 0.0)) | (~is_mir & ok)
             wix_n = jnp.where(is_mir, wix_m, wix_n)
@@ -808,8 +1039,11 @@ def _shade_table(scene) -> jnp.ndarray:
     tex = scene.textures
     mid = prims.material_id
     is_mirror = mats.mat_type[mid] == 1  # bsdf.MIRROR
-    is_glass = mats.mat_type[mid] == 2  # bsdf.GLASS (smooth on the fast path)
-    kd = jnp.where((is_mirror | is_glass)[:, None], 0.0, mats.kd[mid])
+    glass = mats.mat_type[mid] == 2  # bsdf.GLASS
+    rough = mats.roughness[mid] > 1e-4
+    is_glass = glass & ~rough   # smooth: FresnelSpecular delta lobe
+    is_rough = glass & rough    # rough: GGX R+T lobes
+    kd = jnp.where((is_mirror | glass)[:, None], 0.0, mats.kd[mid])
     kt_id = mats.kd_tex[mid]
     safe = jnp.maximum(kt_id, 0)
     is_tex = kt_id >= 0
@@ -841,6 +1075,8 @@ def _shade_table(scene) -> jnp.ndarray:
         is_glass.astype(jnp.float32)[:, None],
         mats.kt[mid],
         mats.eta[mid][:, None],
+        is_rough.astype(jnp.float32)[:, None],
+        jnp.maximum(mats.roughness[mid], 1e-3)[:, None],
     ]
     return jnp.concatenate(cols, axis=1)
 
@@ -913,8 +1149,12 @@ def _li_fused_fwd(
         pinfo.all_full_disks if pinfo is not None else False,
         True,  # any_checker: cheap; keep general
         use_cone,
-        # glass lobe compiled only when a glass material exists (static)
-        getattr(fi, "has_glass", True) if fi is not None else True,
+        # glass lobes compiled only when the materials exist (static);
+        # the rough branch lives inside the glass block, so rough implies
+        # the smooth machinery is compiled too
+        (getattr(fi, "has_glass", True) or getattr(fi, "has_rough_glass", True))
+        if fi is not None else True,
+        getattr(fi, "has_rough_glass", True) if fi is not None else True,
     )
     ltype, lpos, lint, laux = _light_tables(scene)
     lcdf = scene.light_cdf

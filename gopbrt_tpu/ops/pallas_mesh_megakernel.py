@@ -49,6 +49,9 @@ from gopbrt_tpu.ops.intersect import Primitives, SPHERE, DISK, TRIANGLE
 from gopbrt_tpu.ops.pallas_intersect import _prim_test, _flatten_w2o
 from gopbrt_tpu.ops.pallas_megakernel import (
     PI,
+    _fresnel_diel,
+    _ggx_d,
+    _ggx_lambda,
     INV_PI,
     _hash_combine,
     _to_unit,
@@ -317,41 +320,6 @@ def build_mesh_tables(scene, prims: Primitives, lo: np.ndarray,
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
-
-
-def _fresnel_diel(cos_i, eta):
-    """Unpolarised dielectric Fresnel on triples (reflection.go:21-42):
-    handles exiting rays (cos_i < 0) by swapping indices."""
-    ci0 = jnp.clip(cos_i, -1.0, 1.0)
-    entering = ci0 > 0.0
-    ei = jnp.where(entering, 1.0, eta)
-    et = jnp.where(entering, eta, 1.0)
-    ci = jnp.abs(ci0)
-    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
-    sin_t = ei / et * sin_i
-    tir = sin_t >= 1.0
-    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
-    r_parl = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-20)
-    r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-20)
-    return jnp.where(tir, 1.0, 0.5 * (r_parl * r_parl + r_perp * r_perp))
-
-
-def _ggx_d(c_wh, alpha):
-    """Isotropic GGX D from cos(wh, n) (microfacet.go:47-55)."""
-    c2 = c_wh * c_wh
-    t2 = (1.0 - c2) / jnp.maximum(c2, 1e-20)
-    a2 = alpha * alpha
-    e = t2 / jnp.maximum(a2, 1e-12)
-    d = 1.0 / (PI * a2 * c2 * c2 * (1.0 + e) ** 2 + 1e-20)
-    return jnp.where(c2 > 1e-16, d, 0.0)
-
-
-def _ggx_lambda(c_w, alpha):
-    """Smith Λ from cos(w, n) (microfacet.go:56-64)."""
-    c2 = jnp.maximum(c_w * c_w, 1e-20)
-    abs_tan = jnp.sqrt(jnp.maximum(0.0, 1.0 - c2) / c2)
-    a2t2 = (alpha * abs_tan) ** 2
-    return (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0
 
 
 def _tri_test_h(nx, ny, nz, dn, ux, uy, uz, du, vx, vy, vz, dv,

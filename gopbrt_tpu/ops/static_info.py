@@ -61,8 +61,9 @@ class FastPathInfo:
     (ops/pallas_megakernel.py) — the closed fast-path feature set:
 
       shapes     sphere / disk only
-      materials  matte with sigma == 0, mirror, or SMOOTH glass
-                 (FresnelSpecular); no rough glass, no bump, no subsurface
+      materials  matte with sigma == 0, mirror, SMOOTH glass
+                 (FresnelSpecular), or ROUGH glass (GGX R+T, round 5);
+                 no bump, no subsurface
       kd texture constant, or checkerboard with PLANAR mapping
       lights     point / distant / sphere diffuse-area, global (non-spatial)
                  light distribution, 1..16 lights
@@ -86,6 +87,10 @@ class FastPathInfo:
     # any smooth-glass material present: the megakernels compile the
     # FresnelSpecular lobe only when needed (register pressure)
     has_glass: bool = False
+    # any rough-glass material present: the BRUTE megakernel compiles the
+    # GGX R+T lobes (round 5); the MESH megakernel does not implement
+    # them, so mesh_ok excludes rough-glass scenes
+    has_rough_glass: bool = False
 
 
 ALL_PRIMS: Optional[PrimInfo] = None  # None = assume everything (tests)

@@ -254,3 +254,45 @@ class TestPlasticMetal:
         # tint ordering preserved: r >= g >= b on average
         means = f[good].mean(axis=0)
         assert means[0] > means[1] > means[2]
+
+
+class TestRoughGlassTransmission:
+    """Round-5 regression: the transmission denominator clamp.
+
+    microfacet_transmission_f divided by max(c_i*c_o*denom^2, 1e-10); the
+    product c_i*c_o is NEGATIVE for transmission (opposite hemispheres),
+    so the clamp floored the denominator at 1e-10 and f exploded by ~1e9
+    on every rough-glass transmission eval.  Pin both the pointwise value
+    and the energy integral."""
+
+    def test_transmission_f_is_sane(self):
+        mp = mp_for(bsdf.GLASS, 1, kr=jnp.ones((1, 3)), kt=jnp.ones((1, 3)),
+                    eta=jnp.full((1,), 1.5), roughness=jnp.full((1,), 0.2))
+        wo = jnp.asarray([[0.3, 0.2, 0.93]], jnp.float32)
+        wo = wo / jnp.linalg.norm(wo)
+        wi = jnp.asarray([[0.1, -0.05, -0.99]], jnp.float32)
+        wi = wi / jnp.linalg.norm(wi)
+        f = np.asarray(bsdf._glass_rough_f(mp, wo, wi))
+        assert np.all(np.isfinite(f))
+        assert 0.0 < f[0, 0] < 10.0, f
+
+    def test_energy_conservation(self):
+        # int f |cos| dw <= 1 for kr = kt = 1 (single-scatter GGX loses
+        # energy at alpha=0.2; anything >1.05 means double counting or the
+        # clamp bug, anything <0.2 means a lobe went missing)
+        n = 200_000
+        mp = mp_for(bsdf.GLASS, n, kr=jnp.ones((n, 3)), kt=jnp.ones((n, 3)),
+                    eta=jnp.full((n,), 1.5), roughness=jnp.full((n,), 0.2))
+        rng = np.random.default_rng(0)
+        z = rng.uniform(-1, 1, n)
+        phi = rng.uniform(0, 2 * np.pi, n)
+        r = np.sqrt(np.maximum(0, 1 - z * z))
+        wi = jnp.asarray(np.stack([r * np.cos(phi), r * np.sin(phi), z], 1),
+                         jnp.float32)
+        wo = jnp.broadcast_to(
+            jnp.asarray([[0.30151135, 0.20100756, 0.93202615]], jnp.float32),
+            (n, 3),
+        )
+        f = bsdf.bsdf_f(mp, wo, wi)
+        integ = float(jnp.mean(f[:, 0] * jnp.abs(wi[:, 2])) * 4 * np.pi)
+        assert 0.2 < integ < 1.05, integ

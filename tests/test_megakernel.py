@@ -39,7 +39,7 @@ def test_fastinfo_demo_scene_eligible(demo):
     assert scene.fastinfo is not None and scene.fastinfo.ok
 
 
-def test_fastinfo_accepts_smooth_rejects_rough_glass():
+def test_fastinfo_accepts_smooth_and_rough_glass():
     from gopbrt_tpu.models.scene import SceneBuilder
     from gopbrt_tpu.ops import geom
 
@@ -47,13 +47,72 @@ def test_fastinfo_accepts_smooth_rejects_rough_glass():
     m = b.glass()  # smooth: FresnelSpecular — in the megakernel fast set
     b.sphere(geom.translate([0.0, 0.0, 0.0]), 1.0, m)
     b.point_light(p=(0.0, 5.0, 0.0), intensity=(1.0, 1.0, 1.0))
-    assert b.build(accelerator="none").fastinfo.ok
+    fi = b.build(accelerator="none").fastinfo
+    assert fi.ok and fi.has_glass and not fi.has_rough_glass
 
     b = SceneBuilder()
-    m = b.glass(roughness=0.2)  # rough: GGX lobes — jnp chain only
+    m = b.glass(roughness=0.2)  # rough: GGX R+T lobes (round 5)
     b.sphere(geom.translate([0.0, 0.0, 0.0]), 1.0, m)
     b.point_light(p=(0.0, 5.0, 0.0), intensity=(1.0, 1.0, 1.0))
-    assert not b.build(accelerator="none").fastinfo.ok
+    fi = b.build(accelerator="none").fastinfo
+    assert fi.ok and fi.has_rough_glass
+
+
+def _rough_glass_scene():
+    """Checker floor + rough-glass sphere + matte ball + sphere lamp."""
+    from gopbrt_tpu.models.scene import SceneBuilder
+    from gopbrt_tpu.ops import geom
+
+    b = SceneBuilder()
+    checker = b.checkerboard_texture(
+        (0.8, 0.8, 0.8), (0.2, 0.2, 0.2),
+        vs=(0.7, 0.0, 0.0), vt=(0.0, 0.0, 0.7), mapping="planar",
+    )
+    floor = b.matte(kd=(1.0, 1.0, 1.0), kd_tex=checker)
+    b.disk(np.asarray(geom.rotate_x(-90.0)), 60.0, floor)
+    rough = b.glass(kr=(1.0, 1.0, 1.0), kt=(1.0, 1.0, 1.0), eta=1.5,
+                    roughness=0.15)
+    b.sphere(np.asarray(geom.translate([0.0, 1.2, 0.0])), 1.2, rough)
+    matte = b.matte(kd=(0.7, 0.3, 0.2))
+    b.sphere(np.asarray(geom.translate([2.4, 0.8, -1.4])), 0.8, matte)
+    dark = b.matte(kd=(0.0, 0.0, 0.0))
+    lamp = b.sphere(np.asarray(geom.translate([-2.5, 4.0, 2.0])), 0.5, dark)
+    b.area_light(lamp, radiance=(30.0, 28.0, 24.0), two_sided=False)
+    scene = b.build(accelerator="none")
+    cam = cam_mod.perspective_camera(
+        geom.look_at([0.0, 2.4, 6.5], [0.0, 1.0, 0.0], [0.0, 1.0, 0.0]),
+        48, 48, fov_deg=45.0,
+    )
+    return scene, cam
+
+
+def test_megakernel_rough_glass_parity():
+    """Rough-glass GGX R+T lobes in the kernel (round 5): per-lane match
+    vs the jnp chain on the same RNG streams."""
+    scene, camera = _rough_glass_scene()
+    assert scene.fastinfo is not None and scene.fastinfo.ok
+    assert scene.fastinfo.has_rough_glass
+    n = 48 * 48
+    settings = render_mod.RenderSettings(width=48, height=48, spp=1,
+                                         max_depth=5)
+    pixel = jnp.arange(n, dtype=jnp.uint32)
+    sample = jnp.zeros((n,), jnp.uint32)
+    p_film, u_lens = render_mod.camera_samples(settings, pixel, sample,
+                                               jnp.uint32(13))
+    o, d = cam_mod.generate_rays(camera, p_film, u_lens)
+    cfg = integrators.PathConfig(max_depth=5, rr_threshold=1.0)
+    ref = np.asarray(
+        integrators._li_jnp(scene, o, d, pixel, sample, jnp.uint32(13), cfg)
+    )
+    got = np.asarray(
+        mk.path_li_fused(scene, o, d, pixel, sample, jnp.uint32(13), cfg,
+                         interpret=True)
+    )
+    assert np.all(np.isfinite(got))
+    diff = np.abs(got - ref).max(axis=-1)
+    rel = diff / (1e-3 + np.abs(ref).max(axis=-1))
+    assert np.mean(rel < 1e-3) > 0.98, f"agreement {np.mean(rel < 1e-3):.4f}"
+    assert abs(got.mean() - ref.mean()) < 1e-2 * max(ref.mean(), 1e-6)
 
 
 @pytest.mark.parametrize("depth", [1, 5])
