@@ -78,7 +78,15 @@ def _st(tex: Textures, tex_id, p, uv):
 
 
 def _image_lookup(tex: Textures, tex_id, s, t):
-    """Bilinear atlas fetch with wrap addressing."""
+    """Bilinear atlas fetch with wrap addressing.
+
+    s/t are sanitized first: masked (missed) lanes carry garbage uv, and
+    a NaN uv makes the bilinear WEIGHTS NaN — harmless forward (the
+    result is where-masked) but the gather adjoint then scatters
+    NaN * 0-cotangent into the ATLAS gradient, poisoning inverse
+    rendering (round-5 fix, pinned by tests/test_grad.py)."""
+    s = jnp.nan_to_num(s, nan=0.0, posinf=0.0, neginf=0.0)
+    t = jnp.nan_to_num(t, nan=0.0, posinf=0.0, neginf=0.0)
     rect = tex.image_rect[tex_id]  # [...,4]
     y0, x0, h, w = rect[..., 0], rect[..., 1], rect[..., 2], rect[..., 3]
     h = jnp.maximum(h, 1)

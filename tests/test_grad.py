@@ -127,3 +127,38 @@ def _step(loss_fn, opt, params, state):
     loss, g = jax.value_and_grad(loss_fn)(params)
     updates, state = opt.update(g, state, params)
     return optax.apply_updates(params, updates), state, loss
+
+
+class TestImageTextureGradient:
+    """Round-5 regression: atlas gradients through the bilinear image
+    texture.  Masked (missed) lanes carry garbage uv; before the
+    _image_lookup sanitize, their NaN bilinear weights scattered
+    NaN * 0-cotangent into the ATLAS gradient and poisoned every
+    inverse-rendering step that optimized a texture."""
+
+    def test_atlas_gradient_finite_and_nonzero(self):
+        b = SceneBuilder()
+        atlas = np.full((8, 8, 3), 0.5, np.float32)
+        tex = b.image_texture(atlas)
+        m = b.matte(kd=(1.0, 1.0, 1.0), kd_tex=tex)
+        b.sphere(np.asarray(geom.translate([0.0, 0.0, 0.0])), 1.0, m)
+        b.point_light(p=(0.0, 5.0, 3.0), intensity=(50.0,) * 3)
+        scene = b.build(accelerator="none")
+        cam = cam_mod.perspective_camera(
+            geom.look_at([0.0, 0.0, 4.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+            16, 16, fov_deg=40.0,
+        )
+        settings = render_mod.RenderSettings(
+            width=16, height=16, spp=4, max_depth=2, samples_per_pass=4,
+            compaction=False,
+        )
+
+        def loss(a):
+            sc = scene._replace(textures=scene.textures._replace(atlas=a))
+            img = render_linear(sc, cam, settings)
+            return jnp.mean(img)
+
+        g = jax.grad(loss)(scene.textures.atlas)
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g)), "NaN in atlas gradient"
+        assert np.abs(g).max() > 0.0, "atlas gradient identically zero"
