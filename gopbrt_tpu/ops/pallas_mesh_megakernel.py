@@ -91,6 +91,11 @@ _BIG = 1e30
 _ABLATE = frozenset(
     filter(None, os.environ.get("GOPBRT_MESH_ABLATE", "").split(","))
 )
+# phase-split octant reorder (round 5): 0 disables for A/B measurement
+_REORDER = int(os.environ.get("GOPBRT_MESH_REORDER", "1"))
+# re-sort the wavefront before every bounce below this index (the sorted
+# order decays after each scatter); bounces >= this run in one fused tail
+_RESORT_UNTIL = int(os.environ.get("GOPBRT_MESH_RESORT_UNTIL", "2"))
 
 # triangle record columns (f32[K*M, _RC_K]), Havel-Herout precomputed-
 # plane form (On Fast Construction of SAH-based Bounding Volume
@@ -351,17 +356,24 @@ def _tri_test_h(nx, ny, nz, dn, ux, uy, uz, du, vx, vy, vz, dv,
 
 def _mesh_kernel(
     # static
-    n_clusters, n_extras, n_mats, n_lights, max_depth, rr_start,
+    n_clusters, n_extras, n_mats, n_lights, n_bounces, rr_start,
     rr_threshold, ex_types, use_cone,
     # SMEM
     seed_ref, cb_ref, ext_ref, exw_ref, exp_ref, exa_ref, msh_ref,
     ltype_ref, lpos_ref, lint_ref, laux_ref, lcdf_ref, scal_ref,
-    # VMEM in
+    # VMEM in: rays + full path state (round 5: the bounce loop can run
+    # in phases — camera bounce, then an octant reorder on the host,
+    # then the remaining bounces — so state enters and leaves the kernel)
     tri_ref,
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     pix_ref, samp_ref, alive_ref,
-    # out
+    br_ref, bg_ref, bb_ref, lri_ref, lgi_ref, lbi_ref,
+    spc_ref, ppd_ref, cwi_ref, esi_ref,
+    # out: radiance + full carried state
     lr_ref, lg_ref, lb_ref,
+    pox_ref, poy_ref, poz_ref, pdx_ref, pdy_ref, pdz_ref,
+    pbr_ref, pbg_ref, pbb_ref, pal_ref, psp_ref, ppp_ref, pcw_ref,
+    pes_ref,
     # scratch
     r_o0, r_o1, r_o2, r_d0, r_d1, r_d2, r_tm,   # ray rows for traversal
     o_t, o_slot,                                 # traversal results
@@ -375,8 +387,8 @@ def _mesh_kernel(
     seed = seed_ref[0]
     func_int = scal_ref[0]
     world_radius = scal_ref[1]
-    cone_w0 = scal_ref[2]
     cone_sp = scal_ref[3]
+    start_b = scal_ref[4].astype(jnp.int32)  # absolute index of bounce 0
     EXTRA_BASE = n_clusters * M
 
     pix = pix_ref[:]
@@ -660,9 +672,10 @@ def _mesh_kernel(
         (ox, oy, oz, dx, dy, dz, bR, bG, bB, LR, LG, LB,
          alive_f, spec_f, prev_pdf, cw, es) = st
         alive = alive_f > 0.5
+        b_abs = bounce_idx + start_b  # absolute bounce (RNG dims + RR)
         dim0 = (
             jnp.uint32(DIM_BOUNCE_BASE)
-            + bounce_idx.astype(jnp.uint32) * jnp.uint32(DIMS_PER_BOUNCE)
+            + b_abs.astype(jnp.uint32) * jnp.uint32(DIMS_PER_BOUNCE)
         )
 
         def u1(off):
@@ -1216,7 +1229,7 @@ def _mesh_kernel(
         rr_max = jnp.maximum(bR, jnp.maximum(bG, bB)) * es
         q = jnp.maximum(0.05, 1.0 - rr_max)
         u_rr = u1(D_RR)
-        do_rr = (bounce_idx >= rr_start) & (rr_max < rr_threshold)
+        do_rr = (b_abs >= rr_start) & (rr_max < rr_threshold)
         killed = do_rr & (u_rr < q)
         surv = jnp.where(do_rr & ~killed, 1.0 / (1.0 - q), 1.0)
         bR, bG, bB = bR * surv, bG * surv, bB * surv
@@ -1231,18 +1244,16 @@ def _mesh_kernel(
             es,
         )
 
-    shape = ox_ref.shape
-    zeros = jnp.zeros(shape, jnp.float32)
     state = (
         ox_ref[:], oy_ref[:], oz_ref[:],
         dx_ref[:], dy_ref[:], dz_ref[:],
-        zeros + 1.0, zeros + 1.0, zeros + 1.0,
-        zeros, zeros, zeros,
+        br_ref[:], bg_ref[:], bb_ref[:],
+        lri_ref[:], lgi_ref[:], lbi_ref[:],
         alive_ref[:],
-        zeros + 1.0,
-        zeros,
-        zeros + cone_w0,
-        zeros + 1.0,
+        spc_ref[:],
+        ppd_ref[:],
+        cwi_ref[:],
+        esi_ref[:],
     )
     # Data-dependent bounce loop: exit the block as soon as every lane is
     # dead.  Re-measured in isolation round 5 (the round-4 number was
@@ -1253,10 +1264,10 @@ def _mesh_kernel(
     # the closed demo scene, where blocks never die; see BENCH_NOTES.)
     # "nowexit" ablation restores the static fori_loop for A/B runs.
     if "nowexit" in _ABLATE:
-        state = jax.lax.fori_loop(0, max_depth, bounce, state)
+        state = jax.lax.fori_loop(0, n_bounces, bounce, state)
     else:
         def w_cond(si):
-            return (si[0] < max_depth) & (jnp.sum(si[1][12]) > 0.0)
+            return (si[0] < n_bounces) & (jnp.sum(si[1][12]) > 0.0)
 
         def w_body(si):
             return (si[0] + 1, bounce(si[0], si[1]))
@@ -1265,6 +1276,20 @@ def _mesh_kernel(
     lr_ref[:] = state[9]
     lg_ref[:] = state[10]
     lb_ref[:] = state[11]
+    pox_ref[:] = state[0]
+    poy_ref[:] = state[1]
+    poz_ref[:] = state[2]
+    pdx_ref[:] = state[3]
+    pdy_ref[:] = state[4]
+    pdz_ref[:] = state[5]
+    pbr_ref[:] = state[6]
+    pbg_ref[:] = state[7]
+    pbb_ref[:] = state[8]
+    pal_ref[:] = state[12]
+    psp_ref[:] = state[13]
+    ppp_ref[:] = state[14]
+    pcw_ref[:] = state[15]
+    pes_ref[:] = state[16]
 
 
 # ---------------------------------------------------------------------------
@@ -1312,87 +1337,177 @@ def _mesh_li_fwd(
     ex_types = tuple(
         t for t in (SPHERE, DISK) if t in scene.prims.types
     ) or (SPHERE,)
-    kernel = functools.partial(
-        _mesh_kernel,
-        mt.n_clusters, mt.n_extras, mt.n_mats, l_cnt,
-        max_depth, rr_start, rr_threshold, ex_types, use_cone,
-    )
     ltype, lpos, lint, laux = _light_tables(scene)
     lcdf = scene.light_cdf
-    scal = jnp.stack(
-        [
-            scene.light_func_int.astype(jnp.float32),
-            scene.world_radius.astype(jnp.float32),
-            jnp.asarray(cone_w0, jnp.float32),
-            jnp.asarray(cone_sp, jnp.float32),
-        ]
-    )
     e_cnt = max(mt.n_extras, 1)
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            smem((1,)),                      # seed
-            smem(tuple(mt.cbounds.shape)),   # cluster bounds
-            smem((e_cnt,)),                  # extras type
-            smem((e_cnt, 12)),               # extras w2o
-            smem((e_cnt, 9)),                # extras params
-            smem((e_cnt, 3)),                # extras aux
-            smem((mt.n_mats, _MS_K)),        # material shade table
-            smem((l_cnt,)),
-            smem((l_cnt, 3)),
-            smem((l_cnt, 3)),
-            smem((l_cnt, 8)),
-            smem((l_cnt + 1,)),
-            smem((4,)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri table, whole
-            ray_spec, ray_spec, ray_spec,
-            ray_spec, ray_spec, ray_spec,
-            ray_spec, ray_spec, ray_spec,
-        ],
-        out_specs=[ray_spec, ray_spec, ray_spec],
-        out_shape=[jax.ShapeDtypeStruct((rows, RB), jnp.float32)] * 3,
-        scratch_shapes=[
-            pltpu.VMEM((RROWS, RB), jnp.float32),  # r_o0
-            pltpu.VMEM((RROWS, RB), jnp.float32),
-            pltpu.VMEM((RROWS, RB), jnp.float32),
-            pltpu.VMEM((RROWS, RB), jnp.float32),  # r_d0
-            pltpu.VMEM((RROWS, RB), jnp.float32),
-            pltpu.VMEM((RROWS, RB), jnp.float32),
-            pltpu.VMEM((RROWS, RB), jnp.float32),  # r_tm
-            pltpu.VMEM((RROWS, RB), jnp.float32),  # o_t
-            pltpu.VMEM((RROWS, RB), jnp.int32),    # o_slot
-            pltpu.VMEM((RROWS * SUB, RB), jnp.float32),  # t8
-            pltpu.VMEM((RROWS * SUB, RB), jnp.int32),    # i8
-            pltpu.VMEM((RROWS, RB), jnp.float32),  # tc8
-            pltpu.VMEM((_RC_RES * SUB, RB), jnp.float32),    # acc_sc
-            pltpu.VMEM((_RC_RES * RROWS, RB), jnp.float32),  # attr_sc
-            pltpu.SMEM((mt.n_clusters,), jnp.float32),       # keys_sc
-            pltpu.SMEM((mt.n_clusters,), jnp.int32),         # ord_sc
-            pltpu.SMEM((17,), jnp.int32),                    # bins_sc
-        ],
-        interpret=interpret,
-    )(
-        jnp.asarray(seed, jnp.uint32).reshape(1),
-        mt.cbounds,
-        mt.ex_type,
-        mt.ex_w2o,
-        mt.ex_par,
-        mt.ex_aux,
-        mt.mshade,
-        ltype,
-        lpos,
-        lint,
-        laux,
-        lcdf,
-        scal,
-        mt.tri,
-        as2d(o[:, 0]), as2d(o[:, 1]), as2d(o[:, 2]),
-        as2d(d[:, 0]), as2d(d[:, 1]), as2d(d[:, 2]),
-        as2d(pixel.astype(jnp.uint32)), as2d(sample.astype(jnp.uint32)),
-        as2d(alive0),
+
+    def phase(st, start_b, n_bounces):
+        """Run n_bounces of the fused loop starting at absolute bounce
+        start_b; st is the dict of 16 per-lane state arrays (flat [total])
+        plus pixel/sample.  Returns the updated dict + accumulated L."""
+        kernel = functools.partial(
+            _mesh_kernel,
+            mt.n_clusters, mt.n_extras, mt.n_mats, l_cnt,
+            n_bounces, rr_start, rr_threshold, ex_types, use_cone,
+        )
+        scal = jnp.stack(
+            [
+                scene.light_func_int.astype(jnp.float32),
+                scene.world_radius.astype(jnp.float32),
+                jnp.asarray(cone_w0, jnp.float32),
+                jnp.asarray(cone_sp, jnp.float32),
+                jnp.asarray(jnp.float32(start_b)),
+            ]
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                smem((1,)),                      # seed
+                smem(tuple(mt.cbounds.shape)),   # cluster bounds
+                smem((e_cnt,)),                  # extras type
+                smem((e_cnt, 12)),               # extras w2o
+                smem((e_cnt, 9)),                # extras params
+                smem((e_cnt, 3)),                # extras aux
+                smem((mt.n_mats, _MS_K)),        # material shade table
+                smem((l_cnt,)),
+                smem((l_cnt, 3)),
+                smem((l_cnt, 3)),
+                smem((l_cnt, 8)),
+                smem((l_cnt + 1,)),
+                smem((5,)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # tri table, whole
+            ] + [ray_spec] * 19,
+            out_specs=[ray_spec] * 17,
+            out_shape=[jax.ShapeDtypeStruct((rows, RB), jnp.float32)] * 17,
+            scratch_shapes=[
+                pltpu.VMEM((RROWS, RB), jnp.float32),  # r_o0
+                pltpu.VMEM((RROWS, RB), jnp.float32),
+                pltpu.VMEM((RROWS, RB), jnp.float32),
+                pltpu.VMEM((RROWS, RB), jnp.float32),  # r_d0
+                pltpu.VMEM((RROWS, RB), jnp.float32),
+                pltpu.VMEM((RROWS, RB), jnp.float32),
+                pltpu.VMEM((RROWS, RB), jnp.float32),  # r_tm
+                pltpu.VMEM((RROWS, RB), jnp.float32),  # o_t
+                pltpu.VMEM((RROWS, RB), jnp.int32),    # o_slot
+                pltpu.VMEM((RROWS * SUB, RB), jnp.float32),  # t8
+                pltpu.VMEM((RROWS * SUB, RB), jnp.int32),    # i8
+                pltpu.VMEM((RROWS, RB), jnp.float32),  # tc8
+                pltpu.VMEM((_RC_RES * SUB, RB), jnp.float32),    # acc_sc
+                pltpu.VMEM((_RC_RES * RROWS, RB), jnp.float32),  # attr_sc
+                pltpu.SMEM((mt.n_clusters,), jnp.float32),       # keys_sc
+                pltpu.SMEM((mt.n_clusters,), jnp.int32),         # ord_sc
+                pltpu.SMEM((17,), jnp.int32),                    # bins_sc
+            ],
+            interpret=interpret,
+        )(
+            jnp.asarray(seed, jnp.uint32).reshape(1),
+            mt.cbounds,
+            mt.ex_type,
+            mt.ex_w2o,
+            mt.ex_par,
+            mt.ex_aux,
+            mt.mshade,
+            ltype,
+            lpos,
+            lint,
+            laux,
+            lcdf,
+            scal,
+            mt.tri,
+            as2d(st["ox"]), as2d(st["oy"]), as2d(st["oz"]),
+            as2d(st["dx"]), as2d(st["dy"]), as2d(st["dz"]),
+            as2d(st["pixel"]), as2d(st["sample"]),
+            as2d(st["alive"]),
+            as2d(st["br"]), as2d(st["bg"]), as2d(st["bb"]),
+            as2d(st["lr"]), as2d(st["lg"]), as2d(st["lb"]),
+            as2d(st["spec"]), as2d(st["ppdf"]),
+            as2d(st["cw"]), as2d(st["es"]),
+        )
+        flat = [x.reshape(total) for x in outs]
+        return dict(
+            lr=flat[0], lg=flat[1], lb=flat[2],
+            ox=flat[3], oy=flat[4], oz=flat[5],
+            dx=flat[6], dy=flat[7], dz=flat[8],
+            br=flat[9], bg=flat[10], bb=flat[11],
+            alive=flat[12], spec=flat[13], ppdf=flat[14],
+            cw=flat[15], es=flat[16],
+            pixel=st["pixel"], sample=st["sample"],
+        )
+
+    zeros = jnp.zeros((total,), jnp.float32)
+    st = dict(
+        ox=o[:, 0], oy=o[:, 1], oz=o[:, 2],
+        dx=d[:, 0], dy=d[:, 1], dz=d[:, 2],
+        br=zeros + 1.0, bg=zeros + 1.0, bb=zeros + 1.0,
+        lr=zeros, lg=zeros, lb=zeros,
+        alive=alive0, spec=zeros + 1.0, ppdf=zeros,
+        cw=zeros + jnp.float32(cone_w0), es=zeros + 1.0,
+        pixel=pixel.astype(jnp.uint32), sample=sample.astype(jnp.uint32),
     )
-    L = jnp.stack([x.reshape(total)[:n] for x in outs], axis=-1)
+
+    if max_depth <= 1 or _REORDER == 0:
+        st = phase(st, 0, max_depth)
+        L = jnp.stack([st["lr"], st["lg"], st["lb"]], axis=-1)[:n]
+    else:
+        # PHASE SPLIT + OCTANT REORDER (round 5): run the coherent camera
+        # bounce, then sort the wavefront by bounce-ray direction octant
+        # with dead lanes grouped LAST — rows become direction-coherent
+        # (the near-to-far cluster order and slab culls work again) and
+        # all-dead blocks skip the remaining bounces entirely via the
+        # in-kernel exit (compaction-lite without a compaction kernel).
+        # Per-lane math is order-independent (counter RNG rides pixel/
+        # sample), so the result is exactly the unsorted estimator.
+        def reorder(st):
+            # sort key: direction octant (3 bits) x 4^3 origin cell (6
+            # bits), dead lanes last.  Octant is the major key — the slab
+            # cull cares most about direction agreement within a row; the
+            # origin cell then groups rays whose near-to-far cluster order
+            # agrees.
+            def cell(v):
+                lo = jnp.min(v)
+                sc = 3.999 / jnp.maximum(jnp.max(v) - lo, 1e-6)
+                return jnp.clip(((v - lo) * sc).astype(jnp.int32), 0, 3)
+
+            octant = (
+                (st["dx"] < 0).astype(jnp.int32) * 4
+                + (st["dy"] < 0).astype(jnp.int32) * 2
+                + (st["dz"] < 0).astype(jnp.int32)
+            )
+            ocell = cell(st["ox"]) * 16 + cell(st["oy"]) * 4 + cell(st["oz"])
+            key = jnp.where(
+                st["alive"] < 0.5, jnp.int32(8 * 64), octant * 64 + ocell
+            )
+            perm = jnp.argsort(key, stable=True)
+            f32b = lambda u: jax.lax.bitcast_convert_type(u, jnp.float32)
+            u32b = lambda f: jax.lax.bitcast_convert_type(f, jnp.uint32)
+            keys17 = ("ox", "oy", "oz", "dx", "dy", "dz", "br", "bg", "bb",
+                      "lr", "lg", "lb", "alive", "spec", "ppdf", "cw", "es")
+            packed = jnp.stack(
+                [st[k] for k in keys17]
+                + [f32b(st["pixel"]), f32b(st["sample"])], axis=-1,
+            )
+            packed = jnp.take(packed, perm, axis=0)
+            st = {k: packed[:, i] for i, k in enumerate(keys17)}
+            st["pixel"] = u32b(packed[:, 17])
+            st["sample"] = u32b(packed[:, 18])
+            return st, perm
+
+        st = phase(st, 0, 1)
+        perms = []
+        for b in range(1, max_depth):
+            st, perm = reorder(st)
+            perms.append(perm)
+            left = max_depth - b
+            nb = left if b >= _RESORT_UNTIL else 1
+            st = phase(st, b, nb)
+            if nb == left:
+                break
+        Lp = jnp.stack([st["lr"], st["lg"], st["lb"]], axis=-1)
+        # undo the whole sort chain, innermost last
+        for p_ in reversed(perms):
+            Lp = jnp.take(Lp, jnp.argsort(p_), axis=0)
+        L = Lp[:n]
     bad = ~jnp.all(jnp.isfinite(L), axis=-1)
     return jnp.where(bad[..., None], 0.0, jnp.maximum(L, 0.0))
 
