@@ -62,6 +62,10 @@ _BIG = 1e30
 PI = math.pi
 INV_PI = 1.0 / math.pi
 _GOLDEN = 0x9E3779B9
+# split the fused bounce loop after this many bounces and sort the
+# wavefront dead-lanes-last before the tail (round 5); <= 0 disables
+import os as _os
+_BRUTE_SPLIT = int(_os.environ.get("GOPBRT_BRUTE_SPLIT", "0"))
 
 # shade-table column layout (per primitive, f32[P, _SH_K])
 _SH_C1 = 0        # 0-2  kd constant / checker colour 1
@@ -250,16 +254,23 @@ def sphere_area_pdf_li(rx, ry, rz, wx, wy, wz, cx, cy, cz, rad):
 
 def _mega_kernel(
     # static
-    n_prims, n_lights, max_depth, rr_start, rr_threshold,
+    n_prims, n_lights, n_bounces, rr_start, rr_threshold,
     types, full_sph, full_disk, any_checker, use_cone, any_glass, any_rough,
     # SMEM tables
     seed_ref, ptype_ref, w2o_ref, params_ref, shade_ref,
     ltype_ref, lpos_ref, lint_ref, laux_ref, lcdf_ref, scal_ref,
-    # VMEM rays
+    # VMEM rays + full path state (round 5: the bounce loop can run in
+    # phases with a host-side dead-lane sort between them, so state
+    # enters and leaves the kernel)
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     pix_ref, samp_ref, alive_ref,
-    # outputs
+    br_ref, bg_ref, bb_ref, lri_ref, lgi_ref, lbi_ref,
+    spc_ref, ppd_ref, cwi_ref, esi_ref,
+    # outputs: radiance + carried state
     lr_ref, lg_ref, lb_ref,
+    pox_ref, poy_ref, poz_ref, pdx_ref, pdy_ref, pdz_ref,
+    pbr_ref, pbg_ref, pbb_ref, pal_ref, psp_ref, ppp_ref, pcw_ref,
+    pes_ref,
     # scratch: path state between bounces + block-alive count
     st_sc, na_sc,
 ):
@@ -267,8 +278,8 @@ def _mega_kernel(
     seed = seed_ref[0]
     func_int = scal_ref[0]
     world_radius = scal_ref[1]
-    cone_w0 = scal_ref[2]
     cone_sp = scal_ref[3]
+    start_b = scal_ref[4].astype(jnp.int32)  # absolute index of bounce 0
 
     # per-lane RNG stream base: hash_combine(hash_combine(seed, pixel), samp)
     pix = pix_ref[:]
@@ -354,9 +365,10 @@ def _mega_kernel(
         (ox, oy, oz, dx, dy, dz, bR, bG, bB, LR, LG, LB,
          alive_f, spec_f, prev_pdf, cw, es) = st
         alive = alive_f > 0.5
+        b_abs = bounce_idx + start_b  # absolute bounce (RNG dims + RR)
         dim0 = (
             jnp.uint32(DIM_BOUNCE_BASE)
-            + bounce_idx.astype(jnp.uint32) * jnp.uint32(DIMS_PER_BOUNCE)
+            + b_abs.astype(jnp.uint32) * jnp.uint32(DIMS_PER_BOUNCE)
         )
 
         def u1(off):
@@ -957,7 +969,7 @@ def _mega_kernel(
         rr_max = jnp.maximum(bR, jnp.maximum(bG, bB)) * es
         q = jnp.maximum(0.05, 1.0 - rr_max)
         u_rr = u1(D_RR)
-        do_rr = (bounce_idx >= rr_start) & (rr_max < rr_threshold)
+        do_rr = (b_abs >= rr_start) & (rr_max < rr_threshold)
         killed = do_rr & (u_rr < q)
         surv = jnp.where(do_rr & ~killed, 1.0 / (1.0 - q), 1.0)
         bR, bG, bB = bR * surv, bG * surv, bB * surv
@@ -973,18 +985,16 @@ def _mega_kernel(
             es,
         )
 
-    shape = ox_ref.shape
-    zeros = jnp.zeros(shape, jnp.float32)
     state = (
         ox_ref[:], oy_ref[:], oz_ref[:],
         dx_ref[:], dy_ref[:], dz_ref[:],
-        zeros + 1.0, zeros + 1.0, zeros + 1.0,  # beta
-        zeros, zeros, zeros,                    # L
+        br_ref[:], bg_ref[:], bb_ref[:],        # beta
+        lri_ref[:], lgi_ref[:], lbi_ref[:],     # L
         alive_ref[:],                           # alive (f32 0/1)
-        zeros + 1.0,                            # specular (camera rays)
-        zeros,                                  # prev_bsdf_pdf
-        zeros + cone_w0,                        # ray-cone footprint width
-        zeros + 1.0,                            # etaScale (path.go:105-115)
+        spc_ref[:],                             # specular
+        ppd_ref[:],                             # prev_bsdf_pdf
+        cwi_ref[:],                             # ray-cone footprint width
+        esi_ref[:],                             # etaScale (path.go:105-115)
     )
     # Block-level all-dead early exit, round-5 formulation.  Round 4 tried
     # a lax.while_loop over the 17-array register-carried state and
@@ -1019,11 +1029,25 @@ def _mega_kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, max_depth, outer, 0)
+    jax.lax.fori_loop(0, n_bounces, outer, 0)
     state = load()
     lr_ref[:] = state[9]
     lg_ref[:] = state[10]
     lb_ref[:] = state[11]
+    pox_ref[:] = state[0]
+    poy_ref[:] = state[1]
+    poz_ref[:] = state[2]
+    pdx_ref[:] = state[3]
+    pdy_ref[:] = state[4]
+    pdz_ref[:] = state[5]
+    pbr_ref[:] = state[6]
+    pbg_ref[:] = state[7]
+    pbb_ref[:] = state[8]
+    pal_ref[:] = state[12]
+    psp_ref[:] = state[13]
+    ppp_ref[:] = state[14]
+    pcw_ref[:] = state[15]
+    pes_ref[:] = state[16]
 
 
 # ---------------------------------------------------------------------------
@@ -1141,76 +1165,138 @@ def _li_fused_fwd(
     )
     pinfo = prims.pinfo
     fi = scene.fastinfo
-    kernel = functools.partial(
-        _mega_kernel,
-        p_cnt, l_cnt, max_depth, rr_start, rr_threshold,
-        prims.types,
-        pinfo.all_full_spheres if pinfo is not None else False,
-        pinfo.all_full_disks if pinfo is not None else False,
-        True,  # any_checker: cheap; keep general
-        use_cone,
-        # glass lobes compiled only when the materials exist (static);
-        # the rough branch lives inside the glass block, so rough implies
-        # the smooth machinery is compiled too
-        (getattr(fi, "has_glass", True) or getattr(fi, "has_rough_glass", True))
-        if fi is not None else True,
-        getattr(fi, "has_rough_glass", True) if fi is not None else True,
-    )
     ltype, lpos, lint, laux = _light_tables(scene)
     lcdf = scene.light_cdf
-    scal = jnp.stack(
-        [
-            scene.light_func_int.astype(jnp.float32),
-            scene.world_radius.astype(jnp.float32),
-            jnp.asarray(cone_w0, jnp.float32),
-            jnp.asarray(cone_sp, jnp.float32),
-        ]
+
+    def phase(st, start_b, n_bounces):
+        kernel = functools.partial(
+            _mega_kernel,
+            p_cnt, l_cnt, n_bounces, rr_start, rr_threshold,
+            prims.types,
+            pinfo.all_full_spheres if pinfo is not None else False,
+            pinfo.all_full_disks if pinfo is not None else False,
+            True,  # any_checker: cheap; keep general
+            use_cone,
+            # glass lobes compiled only when the materials exist (static);
+            # the rough branch lives inside the glass block, so rough
+            # implies the smooth machinery is compiled too
+            (getattr(fi, "has_glass", True)
+             or getattr(fi, "has_rough_glass", True))
+            if fi is not None else True,
+            getattr(fi, "has_rough_glass", True) if fi is not None else True,
+        )
+        scal = jnp.stack(
+            [
+                scene.light_func_int.astype(jnp.float32),
+                scene.world_radius.astype(jnp.float32),
+                jnp.asarray(cone_w0, jnp.float32),
+                jnp.asarray(cone_sp, jnp.float32),
+                jnp.asarray(jnp.float32(start_b)),
+            ]
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                smem((1,)),          # seed
+                smem((p_cnt,)),      # ptype
+                smem((p_cnt, 12)),   # w2o
+                smem((p_cnt, 9)),    # params
+                smem((p_cnt, _SH_K)),  # shade
+                smem((l_cnt,)),      # ltype
+                smem((l_cnt, 3)),    # lpos
+                smem((l_cnt, 3)),    # lint
+                smem((l_cnt, _LA_K)),  # laux
+                smem((l_cnt + 1,)),  # lcdf
+                smem((5,)),          # scalars
+            ] + [ray_spec] * 19,
+            out_specs=[ray_spec] * 17,
+            out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 17,
+            scratch_shapes=[
+                pltpu.VMEM((17 * SUB, LANE), jnp.float32),  # st_sc
+                pltpu.SMEM((1,), jnp.float32),              # na_sc
+            ],
+            interpret=interpret,
+        )(
+            jnp.asarray(seed, jnp.uint32).reshape(1),
+            prims.prim_type,
+            _flatten_w2o(prims),
+            prims.params,
+            _shade_table(scene),
+            ltype,
+            lpos,
+            lint,
+            laux,
+            lcdf,
+            scal,
+            as2d(st["ox"]), as2d(st["oy"]), as2d(st["oz"]),
+            as2d(st["dx"]), as2d(st["dy"]), as2d(st["dz"]),
+            as2d(st["pixel"]), as2d(st["sample"]),
+            as2d(st["alive"]),
+            as2d(st["br"]), as2d(st["bg"]), as2d(st["bb"]),
+            as2d(st["lr"]), as2d(st["lg"]), as2d(st["lb"]),
+            as2d(st["spec"]), as2d(st["ppdf"]),
+            as2d(st["cw"]), as2d(st["es"]),
+        )
+        flat = [x.reshape(total) for x in outs]
+        return dict(
+            lr=flat[0], lg=flat[1], lb=flat[2],
+            ox=flat[3], oy=flat[4], oz=flat[5],
+            dx=flat[6], dy=flat[7], dz=flat[8],
+            br=flat[9], bg=flat[10], bb=flat[11],
+            alive=flat[12], spec=flat[13], ppdf=flat[14],
+            cw=flat[15], es=flat[16],
+            pixel=st["pixel"], sample=st["sample"],
+        )
+
+    zeros = jnp.zeros((total,), jnp.float32)
+    st = dict(
+        ox=o[:, 0], oy=o[:, 1], oz=o[:, 2],
+        dx=d[:, 0], dy=d[:, 1], dz=d[:, 2],
+        br=zeros + 1.0, bg=zeros + 1.0, bb=zeros + 1.0,
+        lr=zeros, lg=zeros, lb=zeros,
+        alive=alive0, spec=zeros + 1.0, ppdf=zeros,
+        cw=zeros + jnp.float32(cone_w0), es=zeros + 1.0,
+        pixel=pixel.astype(jnp.uint32), sample=sample.astype(jnp.uint32),
     )
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            smem((1,)),          # seed
-            smem((p_cnt,)),      # ptype
-            smem((p_cnt, 12)),   # w2o
-            smem((p_cnt, 9)),    # params
-            smem((p_cnt, _SH_K)),  # shade
-            smem((l_cnt,)),      # ltype
-            smem((l_cnt, 3)),    # lpos
-            smem((l_cnt, 3)),    # lint
-            smem((l_cnt, _LA_K)),  # laux
-            smem((l_cnt + 1,)),  # lcdf
-            smem((4,)),          # scalars
-            ray_spec, ray_spec, ray_spec,  # o
-            ray_spec, ray_spec, ray_spec,  # d
-            ray_spec, ray_spec,  # pixel, sample
-            ray_spec,            # alive
-        ],
-        out_specs=[ray_spec, ray_spec, ray_spec],
-        out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 3,
-        scratch_shapes=[
-            pltpu.VMEM((17 * SUB, LANE), jnp.float32),  # st_sc
-            pltpu.SMEM((1,), jnp.float32),              # na_sc
-        ],
-        interpret=interpret,
-    )(
-        jnp.asarray(seed, jnp.uint32).reshape(1),
-        prims.prim_type,
-        _flatten_w2o(prims),
-        prims.params,
-        _shade_table(scene),
-        ltype,
-        lpos,
-        lint,
-        laux,
-        lcdf,
-        scal,
-        as2d(o[:, 0]), as2d(o[:, 1]), as2d(o[:, 2]),
-        as2d(d[:, 0]), as2d(d[:, 1]), as2d(d[:, 2]),
-        as2d(pixel.astype(jnp.uint32)), as2d(sample.astype(jnp.uint32)),
-        as2d(alive0),
-    )
-    L = jnp.stack([x.reshape(total)[:n] for x in outs], axis=-1)
+
+    def compact(st):
+        """Sort the wavefront dead-lanes-last: all-dead blocks then skip
+        every remaining bounce via the kernel's block-alive gate —
+        compaction-lite without a compaction kernel.  Per-lane math is
+        order-independent (counter RNG rides pixel/sample)."""
+        perm = jnp.argsort(st["alive"] < 0.5, stable=True)
+        f32b = lambda u: jax.lax.bitcast_convert_type(u, jnp.float32)
+        u32b = lambda f: jax.lax.bitcast_convert_type(f, jnp.uint32)
+        keys17 = ("ox", "oy", "oz", "dx", "dy", "dz", "br", "bg", "bb",
+                  "lr", "lg", "lb", "alive", "spec", "ppdf", "cw", "es")
+        packed = jnp.stack(
+            [st[k] for k in keys17]
+            + [f32b(st["pixel"]), f32b(st["sample"])], axis=-1,
+        )
+        packed = jnp.take(packed, perm, axis=0)
+        st = {k: packed[:, i] for i, k in enumerate(keys17)}
+        st["pixel"] = u32b(packed[:, 17])
+        st["sample"] = u32b(packed[:, 18])
+        return st, perm
+
+    # Compaction split: MEASURED A LOSS on the demo workload and
+    # DISABLED by default (round 5): splits at 2/3/4 bench 32.8/34.3/
+    # 34.3 Mrays/s vs 46.5 unsplit — at 2.07M lanes the argsort + packed
+    # row gather costs more than the dead-block savings the in-kernel
+    # block-alive exit (with 2048-ray blocks) already reclaims.  Kept
+    # env-gated (GOPBRT_BRUTE_SPLIT) because the MESH kernel's version
+    # of the same machinery is a 2x win there (traversal coherence, not
+    # just dead-lane grouping — see pallas_mesh_megakernel).
+    if _BRUTE_SPLIT <= 0 or max_depth <= _BRUTE_SPLIT:
+        st = phase(st, 0, max_depth)
+        L = jnp.stack([st["lr"], st["lg"], st["lb"]], axis=-1)[:n]
+    else:
+        st = phase(st, 0, _BRUTE_SPLIT)
+        st, perm = compact(st)
+        st = phase(st, _BRUTE_SPLIT, max_depth - _BRUTE_SPLIT)
+        Lp = jnp.stack([st["lr"], st["lg"], st["lb"]], axis=-1)
+        L = jnp.take(Lp, jnp.argsort(perm), axis=0)[:n]
     # NaN/Inf sanitization (renderWorker, integrator.go:256-262)
     bad = ~jnp.all(jnp.isfinite(L), axis=-1)
     return jnp.where(bad[..., None], 0.0, jnp.maximum(L, 0.0))
