@@ -205,8 +205,13 @@ def to_uint8(img) -> np.ndarray:
 
 
 def write_png(path: str, img) -> str:
-    """PNG output (film.go:142-179's WriteImage endpoint)."""
+    """PNG output (film.go:142-179's WriteImage endpoint).
+
+    compress_level=1: zlib's fastest setting cuts the 1080p encode from
+    ~0.6 s to ~0.2 s on this class of host for ~15% larger files — the
+    encode sits on the serving path (BENCH_NOTES round-5 e2e breakdown).
+    """
     from PIL import Image
 
-    Image.fromarray(to_uint8(img)).save(path)
+    Image.fromarray(to_uint8(img)).save(path, compress_level=1)
     return path
