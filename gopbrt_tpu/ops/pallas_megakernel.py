@@ -1129,13 +1129,17 @@ def _light_tables(scene):
     jax.jit,
     static_argnames=(
         "max_depth", "rr_start", "rr_threshold", "interpret", "use_cone",
+        "split_at",
     ),
 )
 def _li_fused_fwd(
     scene, o, d, pixel, sample, seed, cone_w0, cone_sp,
     max_depth=10, rr_start=3, rr_threshold=1.0, interpret=False,
-    use_cone=False,
+    use_cone=False, split_at=None,
 ):
+    # explicit static arg (jit-cache-safe); defaults from the env flag
+    if split_at is None:
+        split_at = _BRUTE_SPLIT
     n = o.shape[0]
     prims = scene.prims
     p_cnt = prims.count
@@ -1288,13 +1292,13 @@ def _li_fused_fwd(
     # env-gated (GOPBRT_BRUTE_SPLIT) because the MESH kernel's version
     # of the same machinery is a 2x win there (traversal coherence, not
     # just dead-lane grouping — see pallas_mesh_megakernel).
-    if _BRUTE_SPLIT <= 0 or max_depth <= _BRUTE_SPLIT:
+    if split_at <= 0 or max_depth <= split_at:
         st = phase(st, 0, max_depth)
         L = jnp.stack([st["lr"], st["lg"], st["lb"]], axis=-1)[:n]
     else:
-        st = phase(st, 0, _BRUTE_SPLIT)
+        st = phase(st, 0, split_at)
         st, perm = compact(st)
-        st = phase(st, _BRUTE_SPLIT, max_depth - _BRUTE_SPLIT)
+        st = phase(st, split_at, max_depth - split_at)
         Lp = jnp.stack([st["lr"], st["lg"], st["lb"]], axis=-1)
         L = jnp.take(Lp, jnp.argsort(perm), axis=0)[:n]
     # NaN/Inf sanitization (renderWorker, integrator.go:256-262)

@@ -1301,13 +1301,19 @@ def _mesh_kernel(
     jax.jit,
     static_argnames=(
         "max_depth", "rr_start", "rr_threshold", "interpret", "use_cone",
+        "reorder_on", "resort_until",
     ),
 )
 def _mesh_li_fwd(
     scene, o, d, pixel, sample, seed, cone_w0, cone_sp,
     max_depth=5, rr_start=3, rr_threshold=1.0, interpret=False,
-    use_cone=False,
+    use_cone=False, reorder_on=None, resort_until=None,
 ):
+    # explicit static args (jit-cache-safe); default from the env flags
+    if reorder_on is None:
+        reorder_on = _REORDER != 0
+    if resort_until is None:
+        resort_until = _RESORT_UNTIL
     mt: MeshTables = scene.meshkernel
     n = o.shape[0]
     l_cnt = scene.lights.count
@@ -1446,7 +1452,7 @@ def _mesh_li_fwd(
         pixel=pixel.astype(jnp.uint32), sample=sample.astype(jnp.uint32),
     )
 
-    if max_depth <= 1 or _REORDER == 0:
+    if max_depth <= 1 or not reorder_on:
         st = phase(st, 0, max_depth)
         L = jnp.stack([st["lr"], st["lg"], st["lb"]], axis=-1)[:n]
     else:
@@ -1499,7 +1505,7 @@ def _mesh_li_fwd(
             st, perm = reorder(st)
             perms.append(perm)
             left = max_depth - b
-            nb = left if b >= _RESORT_UNTIL else 1
+            nb = left if b >= resort_until else 1
             st = phase(st, b, nb)
             if nb == left:
                 break

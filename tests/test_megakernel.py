@@ -219,3 +219,20 @@ def test_megakernel_glass_config4_parity():
     # larger tail of float-noise flips than the matte/mirror configs
     assert np.mean(rel < 1e-3) > 0.98, f"agreement {np.mean(rel < 1e-3):.4f}"
     assert abs(got.mean() - ref.mean()) < 1e-2 * max(ref.mean(), 1e-6)
+
+
+def test_brute_split_is_exactly_the_unsplit_estimator(demo):
+    """The brute kernel's phase split + dead-lane compaction sort (round
+    5, disabled by default after measuring a loss on TPU — see
+    BENCH_NOTES) must still return EXACTLY the single-launch result."""
+    scene, o, d, pixel, sample = demo
+    seed = jnp.uint32(7)
+    ref = mk._li_fused_fwd(
+        scene, o, d, pixel, sample, seed, jnp.float32(0), jnp.float32(0),
+        max_depth=5, interpret=True, split_at=0,
+    )
+    got = mk._li_fused_fwd(
+        scene, o, d, pixel, sample, seed, jnp.float32(0), jnp.float32(0),
+        max_depth=5, interpret=True, split_at=3,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

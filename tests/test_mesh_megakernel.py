@@ -88,3 +88,24 @@ def test_mesh_megakernel_gradient_path_replay(mesh):
     np.testing.assert_allclose(
         np.asarray(g_fused), np.asarray(g_ref), rtol=1e-5, atol=1e-7
     )
+
+
+@pytest.mark.parametrize("resort_until", [1, 2])
+def test_reorder_is_exactly_the_unsorted_estimator(mesh, resort_until):
+    """The phase-split wavefront reorder (round 5) must return EXACTLY the
+    single-launch result: per-lane math is order-independent (counter RNG
+    rides pixel/sample) and the unsort must invert the whole sort chain —
+    the multi-sort unsort bug this pins shipped briefly as a pure
+    permutation of the correct image."""
+    scene, o, d, pixel, sample = mesh
+    seed = jnp.uint32(5)
+    ref = pmm._mesh_li_fwd(
+        scene, o, d, pixel, sample, seed, jnp.float32(0), jnp.float32(0),
+        max_depth=3, interpret=True, reorder_on=False,
+    )
+    got = pmm._mesh_li_fwd(
+        scene, o, d, pixel, sample, seed, jnp.float32(0), jnp.float32(0),
+        max_depth=3, interpret=True, reorder_on=True,
+        resort_until=resort_until,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
